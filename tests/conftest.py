@@ -1,0 +1,23 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+Must run before the first `import jax` anywhere in the test session, which
+pytest guarantees because conftest.py is imported first.
+
+Multi-device semantics are tested with XLA's host-platform device-count
+trick (the standard JAX fake-multi-device setup, replacing the "fake
+cluster" the reference never had — see SURVEY.md §4).
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# Make the repo root importable regardless of cwd.
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
