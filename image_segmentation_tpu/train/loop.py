@@ -1,0 +1,326 @@
+"""Training orchestration: the TPU-native `start(...)` pipeline.
+
+Mirrors the reference engine (utils/training.py):
+  * train epoch = shuffled fixed-shape batches through ONE jitted,
+    donated step (grad accumulation inside, §steps);
+  * eval epoch = the original-resolution protocol: fixed-size logits on
+    device, inverse geometry + per-image loss + confusion accumulation
+    on host in float64 (utils/training.py:67-121);
+  * per-epoch metrics-history file; checkpoint on best val mIoU with a
+    weights-only copy; tolerant resume (utils/training.py:453-618).
+
+`fit` covers segmentation and prompt training (reference start /
+start_prompt — the prompt path differs only by the aux heatmap input and
+a probability-emitting model); `fit_reconstruction` covers the
+autoencoder stage-1 loop (autoencoder.ipynb cell 0: MSE, best-val-loss
+checkpointing).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import flax
+import jax
+import numpy as np
+
+from image_segmentation_tpu.data.loader import (
+    MaterializedDataset,
+    eval_batches,
+    train_batches,
+)
+from image_segmentation_tpu.metrics import MetricsHistory
+from image_segmentation_tpu.ops import geometry as G
+from image_segmentation_tpu.parallel.mesh import shard_batch
+from image_segmentation_tpu.train import checkpoint as ckpt
+from image_segmentation_tpu.train.steps import make_eval_forward, make_train_step
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: Any
+    history: Dict[str, list]
+    best: Dict[str, float]
+
+
+def _history_new() -> Dict[str, list]:
+    return {
+        "train_loss": [],
+        "val_loss": [],
+        "val_dice": [],
+        "val_iou": [],
+        "val_acc": [],
+        "val_per_class_iou": [],
+        "epoch_time_s": [],
+    }
+
+
+def _save_history(save_dir: str, name: str, history: Dict[str, list]):
+    """Per-epoch metrics file (reference utils/training.py:557-562)."""
+    os.makedirs(os.path.join(save_dir, "metrics"), exist_ok=True)
+    payload = {
+        k: [np.asarray(v) for v in vs] if k == "val_per_class_iou" else list(vs)
+        for k, vs in history.items()
+    }
+    with open(os.path.join(save_dir, "metrics", name + ".msgpack"), "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(payload))
+
+
+def evaluate(
+    state,
+    val_data: MaterializedDataset,
+    *,
+    host_loss_fn: Optional[Callable] = None,
+    num_classes: int = 4,
+    eval_ignore_index: Optional[int] = 3,
+    batch_size: int = 8,
+    forward=None,
+    agg: Optional[MetricsHistory] = None,
+    verbose: bool = True,
+):
+    """Original-resolution evaluation (reference utils/training.py:67-121).
+
+    Fixed-size device forward → host inverse geometry per image →
+    per-image loss + float64 confusion against the untouched GT.
+    """
+    assert val_data.orig_labels is not None, (
+        "materialize val data with keep_orig_labels=True"
+    )
+    if forward is None:
+        forward = make_eval_forward()
+    if agg is None:
+        agg = MetricsHistory(num_classes, ignore_index=eval_ignore_index)
+    agg.reset()  # (the reference prompt eval forgot this — SURVEY C26 quirk)
+
+    losses = []
+    for inputs, _, metas, origs, count in eval_batches(val_data, batch_size):
+        out = np.asarray(forward(state, *(jax.numpy.asarray(x) for x in inputs)))
+        metas_list = G.metas_to_list(metas)
+        for i in range(count):
+            inv = G.invert_resize_padding_np(out[i], metas_list[i], method="linear")
+            label = origs[i]
+            if host_loss_fn is not None:
+                losses.append(host_loss_fn(inv, label))
+            agg.accumulate(inv, label)
+    dice, iou, acc = agg.compute_epoch_metrics()
+    val_loss = float(np.mean(losses)) if losses else float("nan")
+    if verbose:
+        per_iou = agg.get_last_per_class_iou()
+        print(
+            f"  val: loss={val_loss:.4f} acc={acc:.4f} dice={dice:.4f} "
+            f"miou={iou:.4f} per-class IoU={np.round(per_iou, 4).tolist()}"
+        )
+    return {
+        "loss": val_loss,
+        "dice": dice,
+        "iou": iou,
+        "acc": acc,
+        "per_class_iou": np.asarray(agg.get_last_per_class_iou()),
+    }
+
+
+def fit(
+    state,
+    train_data: MaterializedDataset,
+    val_data: MaterializedDataset,
+    *,
+    loss_fn: Callable,
+    epochs: int,
+    batch_size: int,
+    accum_steps: int = 1,
+    save_dir: str,
+    name: str,
+    host_loss_fn: Optional[Callable] = None,
+    num_classes: int = 4,
+    eval_ignore_index: Optional[int] = 3,
+    eval_batch_size: Optional[int] = None,
+    mesh=None,
+    resume: bool = False,
+    seed: int = 0,
+    notes: str = "",
+    verbose: bool = True,
+    save_weights_only_copy: bool = True,
+) -> FitResult:
+    """Train with per-epoch original-resolution validation and
+    best-val-mIoU checkpointing (reference utils/training.py:453-618)."""
+    os.makedirs(save_dir, exist_ok=True)
+    ckpt_path = os.path.join(save_dir, name)
+    weights_path = os.path.join(save_dir, "MO_" + name)
+
+    history = _history_new()
+    best = {"dice": -1.0, "miou": -1.0, "loss": float("inf")}
+    start_epoch = 0
+    if resume and os.path.isdir(ckpt_path):
+        state, meta = ckpt.restore_checkpoint(ckpt_path, state)
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        best.update(meta.get("best", {}))
+        saved_hist = meta.get("history", {})
+        for k in history:
+            if k in saved_hist:
+                history[k] = list(saved_hist[k])
+        if verbose:
+            print(f"Resumed {name} at epoch {start_epoch} "
+                  f"(best miou {best['miou']:.4f})")
+
+    has_aux = train_data.has_heatmaps
+    train_step = make_train_step(loss_fn, accum_steps=accum_steps,
+                                 has_aux_input=has_aux)
+    forward = make_eval_forward()
+    rng = np.random.default_rng(seed + start_epoch)
+    agg = MetricsHistory(num_classes, ignore_index=eval_ignore_index)
+
+    for epoch in range(start_epoch, epochs):
+        t0 = time.time()
+        if verbose:
+            print(f"Epoch {epoch + 1}/{epochs} [{name}]")
+        losses = []
+        for batch in train_batches(train_data, batch_size, rng):
+            batch = tuple(jax.numpy.asarray(x) for x in batch)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            state, loss = train_step(state, batch)
+            losses.append(loss)
+        train_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
+        if verbose:
+            print(f"  train: loss={train_loss:.4f}")
+
+        val = evaluate(
+            state,
+            val_data,
+            host_loss_fn=host_loss_fn,
+            num_classes=num_classes,
+            eval_ignore_index=eval_ignore_index,
+            batch_size=eval_batch_size or batch_size,
+            forward=forward,
+            agg=agg,
+            verbose=verbose,
+        )
+
+        history["train_loss"].append(train_loss)
+        history["val_loss"].append(val["loss"])
+        history["val_dice"].append(val["dice"])
+        history["val_iou"].append(val["iou"])
+        history["val_acc"].append(val["acc"])
+        history["val_per_class_iou"].append(val["per_class_iou"])
+        history["epoch_time_s"].append(time.time() - t0)
+        _save_history(save_dir, name, history)
+
+        if val["iou"] > best["miou"]:
+            best = {"dice": val["dice"], "miou": val["iou"], "loss": val["loss"]}
+            ckpt.save_checkpoint(
+                ckpt_path, state, epoch=epoch, best=best, history=history,
+                notes=notes,
+            )
+            if save_weights_only_copy:
+                ckpt.save_params_only(weights_path, state.params)
+            if verbose:
+                print(f"  saved checkpoint (new best miou {val['iou']:.4f})")
+
+    return FitResult(state=state, history=history, best=best)
+
+
+def evaluate_reconstruction(
+    state,
+    val_data: MaterializedDataset,
+    *,
+    originals: list,
+    batch_size: int = 8,
+    forward=None,
+    verbose: bool = True,
+) -> float:
+    """Reconstruction eval at original resolution: reverse-resize the
+    reconstruction, MSE against the untouched input image
+    (reference utils/training.py:202-239)."""
+    if forward is None:
+        forward = make_eval_forward()
+    losses = []
+    for inputs, _, metas, _, count in eval_batches(val_data, batch_size):
+        out = np.asarray(forward(state, jax.numpy.asarray(inputs[0])))
+        metas_list = G.metas_to_list(metas)
+        base = len(losses)
+        for i in range(count):
+            inv = G.invert_resize_padding_np(out[i], metas_list[i], method="linear")
+            orig = originals[base + i][:, :, :3]  # RGBA truncation, ref :231
+            losses.append(float(((inv - orig) ** 2).mean()))
+    val = float(np.mean(losses))
+    if verbose:
+        print(f"  val recon mse={val:.6f}")
+    return val
+
+
+def fit_reconstruction(
+    state,
+    train_data: MaterializedDataset,
+    val_data: MaterializedDataset,
+    *,
+    originals: list,
+    epochs: int,
+    batch_size: int,
+    accum_steps: int = 1,
+    save_dir: str,
+    name: str,
+    mesh=None,
+    resume: bool = False,
+    seed: int = 0,
+    verbose: bool = True,
+) -> FitResult:
+    """Autoencoder stage 1 (reference autoencoder.ipynb cell 0): MSE
+    against the resized input, best-val-loss checkpointing.
+
+    `originals` are the raw val images (native size) for the
+    original-resolution eval MSE."""
+    os.makedirs(save_dir, exist_ok=True)
+    ckpt_path = os.path.join(save_dir, name)
+
+    def mse(pred, target):
+        return jax.numpy.mean((pred - target) ** 2)
+
+    history = {"train_loss": [], "val_loss": [], "epoch_time_s": []}
+    best = {"loss": float("inf")}
+    start_epoch = 0
+    if resume and os.path.isdir(ckpt_path):
+        state, meta = ckpt.restore_checkpoint(ckpt_path, state)
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        best.update(meta.get("best", {}))
+        for k in history:
+            if k in meta.get("history", {}):
+                history[k] = list(meta["history"][k])
+
+    train_step = make_train_step(mse, accum_steps=accum_steps)
+    forward = make_eval_forward()
+    rng = np.random.default_rng(seed + start_epoch)
+
+    for epoch in range(start_epoch, epochs):
+        t0 = time.time()
+        if verbose:
+            print(f"Epoch {epoch + 1}/{epochs} [{name}]")
+        losses = []
+        for images, _ in train_batches(train_data, batch_size, rng):
+            x = jax.numpy.asarray(images)
+            batch = (x, x)  # reconstruct the input
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            state, loss = train_step(state, batch)
+            losses.append(loss)
+        train_loss = float(np.mean([float(l) for l in losses]))
+        if verbose:
+            print(f"  train: mse={train_loss:.6f}")
+        val_loss = evaluate_reconstruction(
+            state, val_data, originals=originals, batch_size=batch_size,
+            forward=forward, verbose=verbose,
+        )
+        history["train_loss"].append(train_loss)
+        history["val_loss"].append(val_loss)
+        history["epoch_time_s"].append(time.time() - t0)
+        _save_history(save_dir, name, history)
+        if val_loss < best["loss"]:
+            best = {"loss": val_loss}
+            ckpt.save_checkpoint(
+                ckpt_path, state, epoch=epoch, best=best, history=history
+            )
+            if verbose:
+                print(f"  saved checkpoint (new best val mse {val_loss:.6f})")
+
+    return FitResult(state=state, history=history, best=best)

@@ -10,12 +10,19 @@ cluster" the reference never had — see SURVEY.md §4).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The harness exports JAX_PLATFORMS=axon (the TPU tunnel) and the plugin
+# overrides plain env-var selection, so force CPU via jax.config before
+# any backend initialisation.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Make the repo root importable regardless of cwd.
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

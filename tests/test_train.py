@@ -1,0 +1,250 @@
+"""Training-engine integration tests: loss decreases on synthetic data,
+grad accumulation equivalence, freezing, checkpoint/resume determinism,
+and data-parallel execution on the 8-device fake mesh."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from image_segmentation_tpu.data.dataset import ArrayDataset
+from image_segmentation_tpu.data.loader import materialize
+from image_segmentation_tpu.losses import DiceCELoss
+from image_segmentation_tpu.losses.host import dice_ce_loss_np
+from image_segmentation_tpu.models import UNet
+from image_segmentation_tpu.parallel.mesh import get_mesh, replicate, shard_batch
+from image_segmentation_tpu.train import (
+    create_train_state,
+    make_train_step,
+)
+from image_segmentation_tpu.train.state import make_adamw, subtree_mask
+from image_segmentation_tpu.train import checkpoint as ckpt
+from image_segmentation_tpu.train.loop import fit
+
+
+def synthetic_dataset(n=8, seed=0):
+    """Variable-size images whose label is 'right half is class 1 (red) or
+    class 2 (green)' (+ boundary column 255) — learnable by a tiny conv
+    net, and every class appears so macro metrics are finite."""
+    rng = np.random.default_rng(seed)
+    items = []
+    for i in range(n):
+        h = int(rng.integers(40, 70))
+        w = int(rng.integers(40, 70))
+        img = rng.uniform(0, 0.2, (h, w, 3)).astype(np.float32)
+        label = np.zeros((h, w), np.int32)
+        cls = 1 + (i % 2)
+        label[:, w // 2 :] = cls
+        img[:, w // 2 :, cls - 1] += 0.7  # red for cat, green for dog
+        label[:, w // 2 - 1 : w // 2 + 1] = 255  # boundary strip
+        from image_segmentation_tpu.data.labels import target_remap
+
+        items.append((img, target_remap(label)))
+    return ArrayDataset(items)
+
+
+def small_state(num_classes=4, base=4, size=32, lr=3e-3, mask=None):
+    model = UNet(num_classes=num_classes, base=base)
+    tx = make_adamw(learning_rate=lr, trainable_mask=mask)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), tx
+    )
+    return model, state
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        ds = materialize(synthetic_dataset(), 32)
+        _, state = small_state()
+        loss_fn = DiceCELoss(ignore_index=None)
+        step = make_train_step(loss_fn)
+        batch = (jnp.asarray(ds.images), jnp.asarray(ds.labels))
+        first = None
+        for i in range(12):
+            state, loss = step(state, batch)
+            if first is None:
+                first = float(loss)
+        assert float(loss) < first * 0.7
+
+    def test_grad_accum_matches_full_batch_loss(self):
+        """accum_steps=2 must step with the mean gradient (not change the
+        loss scale); with BN the trajectories differ slightly, so compare
+        the reported loss on step 1 which is exact."""
+        ds = materialize(synthetic_dataset(), 32)
+        loss_fn = DiceCELoss(ignore_index=None)
+        batch = (jnp.asarray(ds.images), jnp.asarray(ds.labels))
+
+        _, s1 = small_state()
+        step1 = make_train_step(loss_fn, accum_steps=1)
+        _, l1 = step1(s1, batch)
+
+        _, s2 = small_state()
+        step2 = make_train_step(loss_fn, accum_steps=4)
+        _, l2 = step2(s2, batch)
+        # accum mean-of-microbatch-losses vs full-batch loss: the Dice part
+        # aggregates over the batch so they differ slightly; CE part is a
+        # pixel mean. They must be close, not identical.
+        assert abs(float(l1) - float(l2)) < 0.05
+
+    def test_frozen_subtree_params_unchanged(self):
+        mask_probe_model = UNet(num_classes=4, base=4)
+        v = mask_probe_model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+        )
+        # Freeze the stem DoubleConv (name 'DoubleConv_0')
+        mask = subtree_mask(v["params"], ("DoubleConv_0",))
+        model, state = small_state(mask=mask)
+        ds = materialize(synthetic_dataset(), 32)
+        step = make_train_step(DiceCELoss())
+        before = jax.tree_util.tree_map(
+            np.asarray, state.params["DoubleConv_0"]
+        )
+        other_before = np.asarray(state.params["Conv_0"]["kernel"])
+        batch = (jnp.asarray(ds.images), jnp.asarray(ds.labels))
+        for _ in range(3):
+            state, _ = step(state, batch)
+        after = state.params["DoubleConv_0"]
+        for a, b in zip(
+            jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.allclose(other_before, np.asarray(state.params["Conv_0"]["kernel"]))
+
+
+class TestDataParallel:
+    def test_sharded_step_runs_on_8_devices(self):
+        assert jax.device_count() >= 8, "conftest must fake 8 CPU devices"
+        mesh = get_mesh()
+        ds = materialize(synthetic_dataset(n=8), 32)
+        _, state = small_state()
+        state = replicate(state, mesh)
+        step = make_train_step(DiceCELoss())
+        batch = shard_batch(
+            (jnp.asarray(ds.images), jnp.asarray(ds.labels)), mesh
+        )
+        state, loss = step(state, batch)
+        assert np.isfinite(float(loss))
+        # Params remain replicated (no unexpected sharding)
+        k = state.params["Conv_0"]["kernel"]
+        assert k.sharding.is_fully_replicated
+
+    def test_sharded_equals_single_device(self):
+        """The same batch must produce the same loss sharded vs unsharded
+        (XLA inserts the collectives; math is identical)."""
+        ds = materialize(synthetic_dataset(n=8), 32)
+        batch_np = (ds.images, ds.labels)
+        loss_fn = DiceCELoss()
+
+        _, s_single = small_state()
+        step = make_train_step(loss_fn)
+        _, l_single = step(s_single, tuple(map(jnp.asarray, batch_np)))
+
+        mesh = get_mesh()
+        _, s_shard = small_state()
+        s_shard = replicate(s_shard, mesh)
+        step2 = make_train_step(loss_fn)
+        batch = shard_batch(tuple(map(jnp.asarray, batch_np)), mesh)
+        _, l_shard = step2(s_shard, batch)
+        assert abs(float(l_single) - float(l_shard)) < 1e-4
+
+
+class TestFitLoop:
+    def test_fit_end_to_end_with_checkpoint_resume(self, tmp_path):
+        train_ds = materialize(synthetic_dataset(n=8), 32)
+        val_ds = materialize(
+            synthetic_dataset(n=4, seed=1), 32, keep_orig_labels=True
+        )
+        loss_fn = DiceCELoss(ignore_index=None)
+        _, state = small_state()
+        res = fit(
+            state,
+            train_ds,
+            val_ds,
+            loss_fn=loss_fn,
+            epochs=3,
+            batch_size=4,
+            save_dir=str(tmp_path),
+            name="tiny_unet",
+            host_loss_fn=lambda lg, lb: dice_ce_loss_np(lg, lb, loss_fn),
+            verbose=False,
+        )
+        assert len(res.history["train_loss"]) == 3
+        assert res.history["train_loss"][-1] < res.history["train_loss"][0]
+        assert os.path.isdir(tmp_path / "tiny_unet")
+        assert os.path.isdir(tmp_path / "MO_tiny_unet")
+        assert os.path.exists(tmp_path / "metrics" / "tiny_unet.msgpack")
+        assert 0 <= res.best["miou"] <= 1
+
+        # Resume: continues from epoch 2 (no-op further epochs = 2)
+        _, state2 = small_state()
+        res2 = fit(
+            state2,
+            train_ds,
+            val_ds,
+            loss_fn=loss_fn,
+            epochs=4,
+            batch_size=4,
+            save_dir=str(tmp_path),
+            name="tiny_unet",
+            host_loss_fn=lambda lg, lb: dice_ce_loss_np(lg, lb, loss_fn),
+            resume=True,
+            verbose=False,
+        )
+        assert len(res2.history["train_loss"]) == 4
+        # history from the restored checkpoint epochs must be preserved
+        assert res2.history["train_loss"][0] == res.history["train_loss"][0]
+
+    def test_eval_protocol_shapes(self):
+        """Eval must score at ORIGINAL resolution: plant a distinctive
+        pattern and verify metrics see the native-size label."""
+        val_ds = materialize(
+            synthetic_dataset(n=3, seed=2), 32, keep_orig_labels=True
+        )
+        assert val_ds.orig_labels is not None
+        assert all(
+            o.shape == (int(h), int(w))
+            for o, h, w in zip(
+                val_ds.orig_labels, val_ds.metas.orig_h, val_ds.metas.orig_w
+            )
+        )
+
+
+class TestCheckpointSurgery:
+    def test_load_subtree_encoder_transfer(self, tmp_path):
+        from image_segmentation_tpu.models import (
+            ReconstructionAutoencoder,
+            SegmentationAutoencoder,
+        )
+
+        r = ReconstructionAutoencoder(base=4)
+        vr = r.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
+        tx = make_adamw()
+        state = create_train_state(
+            r, jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)), tx
+        )
+        ckpt.save_checkpoint(str(tmp_path / "recon"), state, epoch=0)
+
+        s = SegmentationAutoencoder(base=4)
+        vs = s.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 3)))
+        new_params = ckpt.load_subtree(
+            str(tmp_path / "recon"),
+            vs["params"],
+            src_prefix="encoder",
+            dst_prefix="encoder",
+        )
+        got = jax.tree_util.tree_leaves(new_params["encoder"])
+        want = jax.tree_util.tree_leaves(state.params["encoder"])
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+        # non-encoder params untouched
+        k0 = jax.tree_util.tree_leaves(new_params)[0]
+        assert np.all(np.isfinite(np.asarray(k0)))
+
+    def test_load_subtree_shape_mismatch_raises(self, tmp_path):
+        _, state = small_state(base=4)
+        ckpt.save_checkpoint(str(tmp_path / "a"), state, epoch=0)
+        _, state8 = small_state(base=8)
+        with pytest.raises((ValueError, KeyError)):
+            ckpt.load_subtree(str(tmp_path / "a"), state8.params)
