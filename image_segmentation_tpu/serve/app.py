@@ -1,0 +1,281 @@
+"""HTTP serving app (stdlib http.server; Flask isn't in this image).
+
+API mirrors the reference webapp (reference segmentation_webapp/app.py):
+  GET  /            — interactive frontend (canvas point picking)
+  GET  /static/*    — frontend assets
+  GET  /models      — registry listing (addition: used by the frontend)
+  POST /segment     — JSON {image: b64, model: name, [prompt_type,
+                      prompt_data], [label: b64]} →
+                      {output_mask: b64 PNG, [output_label: b64 PNG],
+                      class_names}
+
+Startup loads a model registry: either trained checkpoints from
+--models-dir (UNet / autoencoder / ClipUNet / prompt, the reference's 4,
+app.py:91-94) or --demo random-weight models for smoke-testing the
+serving path end to end.
+
+Run: python -m image_segmentation_tpu.serve.app [--port 8000] [--demo]
+"""
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import os
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from image_segmentation_tpu.data.labels import colorize_mask, target_remap
+from image_segmentation_tpu.serve.engine import InferenceEngine
+from image_segmentation_tpu.serve.render import create_prompt_mask
+
+STATIC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "static")
+TEMPLATE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "templates"
+)
+
+
+def decode_base64_image(data: str) -> np.ndarray:
+    """b64 (optionally data-URL) → (H, W, 3) float32 [0,1], alpha dropped
+    (reference app.py:97-114)."""
+    from PIL import Image
+
+    if "," in data[:64] and data.lstrip().startswith("data:"):
+        data = data.split(",", 1)[1]
+    raw = base64.b64decode(data)
+    with Image.open(io.BytesIO(raw)) as im:
+        arr = np.asarray(im.convert("RGBA") if im.mode == "P" else im)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    arr = arr[:, :, :3]
+    return arr.astype(np.float32) / 255.0
+
+
+def decode_base64_gray(data: str) -> np.ndarray:
+    from PIL import Image
+
+    if "," in data[:64] and data.lstrip().startswith("data:"):
+        data = data.split(",", 1)[1]
+    raw = base64.b64decode(data)
+    with Image.open(io.BytesIO(raw)) as im:
+        return np.asarray(im.convert("L"))
+
+
+def encode_png_base64(arr: np.ndarray) -> str:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def build_demo_engine(seed: int = 0) -> InferenceEngine:
+    """Random-weight registry with all four model families at reduced
+    size — exercises the full serving path without checkpoints."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.models import SegmentationAutoencoder, UNet
+    from image_segmentation_tpu.models.clip_unet import ClipUNet
+    from image_segmentation_tpu.models.clip_vit import ClipViTConfig
+    from image_segmentation_tpu.models.prompt import PromptModel
+
+    eng = InferenceEngine()
+    key = jax.random.PRNGKey(seed)
+
+    unet = UNet(num_classes=4, base=8)
+    v = unet.init(key, jnp.zeros((1, 64, 64, 3)), train=False)
+    eng.register("unet", unet, v, target_size=64)
+
+    ae = SegmentationAutoencoder(num_classes=4, base=8)
+    v = ae.init(key, jnp.zeros((1, 64, 64, 3)), train=False)
+    eng.register("autoencoder", ae, v, target_size=64)
+
+    vit = ClipViTConfig(
+        image_size=64, patch_size=16, hidden_size=64, num_layers=3,
+        num_heads=4, mlp_dim=128,
+    )
+    clip = ClipUNet(
+        num_classes=4, vit=vit, skip_indices=(1, 2, 3),
+        decoder_channels=(64, 32, 16, 8),
+    )
+    v = clip.init(key, jnp.zeros((1, 64, 64, 3)), train=False)
+    eng.register("clip", clip, v, target_size=64)
+
+    prompt = PromptModel(
+        vit=vit, skip_indices=(0, 1, 2, 3),
+        decoder_channels=(64, 32, 16, 8, 8), unet_base=8,
+    )
+    v = prompt.init(
+        key, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 1)), train=False
+    )
+    eng.register("prompt_model", prompt, v, target_size=64, needs_prompt=True)
+    return eng
+
+
+def build_engine_from_checkpoints(models_dir: str) -> InferenceEngine:
+    """Load trained weights-only checkpoints (the MO_{name} artifacts)
+    from models_dir for whichever of the 4 model families are present."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.models import SegmentationAutoencoder, UNet
+    from image_segmentation_tpu.models.clip_unet import ClipUNet
+    from image_segmentation_tpu.models.prompt import PromptModel
+    from image_segmentation_tpu.train.checkpoint import load_params_only
+
+    specs = {
+        "unet": (UNet(num_classes=4), 256, False, (jnp.zeros((1, 256, 256, 3)),)),
+        "autoencoder": (
+            SegmentationAutoencoder(num_classes=4), 256, False,
+            (jnp.zeros((1, 256, 256, 3)),),
+        ),
+        "clip": (ClipUNet(num_classes=4), 224, False, (jnp.zeros((1, 224, 224, 3)),)),
+        "prompt_model": (
+            PromptModel(), 224, True,
+            (jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 224, 224, 1))),
+        ),
+    }
+    eng = InferenceEngine()
+    for name, (model, tsize, needs_prompt, sample) in specs.items():
+        path = os.path.join(models_dir, f"MO_{name}")
+        if not os.path.isdir(path):
+            print(f"[serve] no checkpoint for {name} at {path}; skipping")
+            continue
+        variables = model.init(jax.random.PRNGKey(0), *sample, train=False)
+        params = load_params_only(path)
+        variables = {**variables, "params": params}
+        eng.register(name, model, variables, tsize, needs_prompt=needs_prompt)
+        print(f"[serve] loaded {name}")
+    if not eng.models:
+        raise RuntimeError(f"no model checkpoints found in {models_dir}")
+    return eng
+
+
+def handle_segment(engine: InferenceEngine, payload: dict) -> dict:
+    """Core of POST /segment (reference app.py:220-401)."""
+    model_name = payload.get("model")
+    if not model_name:
+        return {"error": "missing 'model'"}
+    if model_name not in engine.models:
+        return {
+            "error": f"unknown model {model_name!r}",
+            "available": engine.available(),
+        }
+    if "image" not in payload:
+        return {"error": "missing 'image'"}
+    try:
+        image = decode_base64_image(payload["image"])
+    except Exception as e:
+        return {"error": f"could not decode image: {e}"}
+
+    prompt_mask = None
+    if engine.models[model_name].needs_prompt:
+        ptype = payload.get("prompt_type", "points")
+        pdata = payload.get("prompt_data")
+        if ptype == "scribble" and isinstance(pdata, str):
+            pdata = decode_base64_gray(pdata)
+        prompt_mask = create_prompt_mask(ptype, pdata, image.shape[:2])
+
+    result = engine.segment(image, model_name, prompt_mask)
+    out = {
+        "output_mask": encode_png_base64(result["color_mask"]),
+        "class_names": result["class_names"],
+    }
+
+    # Optional ground-truth label colourisation (reference app.py:338-386)
+    if payload.get("label"):
+        try:
+            lab = decode_base64_gray(payload["label"])
+            lab = target_remap(lab)
+            out["output_label"] = encode_png_base64(colorize_mask(lab))
+        except Exception as e:
+            out["label_error"] = str(e)
+    return out
+
+
+def make_handler(engine: InferenceEngine):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, obj, code: int = 200):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                with open(os.path.join(TEMPLATE_DIR, "index.html"), "rb") as f:
+                    self._send(200, f.read(), "text/html")
+            elif self.path == "/models":
+                self._send_json({"models": engine.available()})
+            elif self.path.startswith("/static/"):
+                rel = self.path[len("/static/") :]
+                full = os.path.normpath(os.path.join(STATIC_DIR, rel))
+                if (
+                    not full.startswith(STATIC_DIR + os.sep)
+                    or not os.path.isfile(full)
+                ):
+                    self._send_json({"error": "not found"}, 404)
+                    return
+                ctype = {
+                    ".js": "application/javascript",
+                    ".css": "text/css",
+                    ".html": "text/html",
+                }.get(os.path.splitext(full)[1], "application/octet-stream")
+                with open(full, "rb") as f:
+                    self._send(200, f.read(), ctype)
+            else:
+                self._send_json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            if self.path != "/segment":
+                self._send_json({"error": "not found"}, 404)
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+            except Exception as e:
+                self._send_json({"error": f"bad request: {e}"}, 400)
+                return
+            try:
+                out = handle_segment(engine, payload)
+            except Exception as e:  # pragma: no cover
+                self._send_json({"error": f"internal error: {e}"}, 500)
+                return
+            self._send_json(out, 400 if "error" in out else 200)
+
+        def log_message(self, fmt, *args):
+            print(f"[serve] {self.address_string()} {fmt % args}")
+
+    return Handler
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--models-dir", default=None)
+    p.add_argument("--demo", action="store_true",
+                   help="random-weight registry (no checkpoints needed)")
+    args = p.parse_args()
+
+    if args.demo or not args.models_dir:
+        print("[serve] demo mode: random-weight models")
+        engine = build_demo_engine()
+    else:
+        engine = build_engine_from_checkpoints(args.models_dir)
+
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(engine))
+    print(f"[serve] listening on http://{args.host}:{args.port} "
+          f"models={engine.available()}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

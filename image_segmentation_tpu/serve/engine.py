@@ -1,0 +1,111 @@
+"""Inference engine: a formal model registry over jitted forwards.
+
+The reference webapp loads 4 models into a dict at startup and runs them
+eagerly on CPU per request (reference segmentation_webapp/app.py:38-94,
+220-288, and duplicates the whole model/geometry layer as local copies —
+SURVEY.md §1 wart). Here serving shares the EXACT same model modules and
+geometry library as training, each model gets one jitted forward compiled
+at registration, and requests run: host resize+pad → device forward →
+host inverse geometry → argmax → colorized mask.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_segmentation_tpu.data.labels import COLOR_MAP, colorize_mask
+from image_segmentation_tpu.ops import geometry as G
+
+SEG_CLASS_NAMES = ("background", "cat", "dog", "boundary")
+PROMPT_CLASS_NAMES = ("deactivated", "background", "cat", "dog")
+
+
+@dataclasses.dataclass
+class ModelEntry:
+    name: str
+    forward: Callable  # jitted: (image (1,T,T,3)[, heatmap (1,T,T,1)]) -> scores
+    target_size: int
+    class_names: tuple
+    needs_prompt: bool = False
+
+
+class InferenceEngine:
+    def __init__(self):
+        self.models: Dict[str, ModelEntry] = {}
+
+    def register(
+        self,
+        name: str,
+        model,
+        variables,
+        target_size: int,
+        needs_prompt: bool = False,
+        class_names: Optional[tuple] = None,
+    ) -> None:
+        """Register a flax model + variables under `name` with one jitted
+        inference forward."""
+
+        @jax.jit
+        def forward(*inputs):
+            return model.apply(variables, *inputs, train=False)
+
+        self.models[name] = ModelEntry(
+            name=name,
+            forward=forward,
+            target_size=target_size,
+            class_names=tuple(
+                class_names
+                or (PROMPT_CLASS_NAMES if needs_prompt else SEG_CLASS_NAMES)
+            ),
+            needs_prompt=needs_prompt,
+        )
+
+    def available(self):
+        return sorted(self.models.keys())
+
+    def segment(
+        self,
+        image: np.ndarray,
+        model_name: str,
+        prompt_mask: Optional[np.ndarray] = None,
+    ):
+        """Run one image through a registered model.
+
+        image: (H, W, 3) float [0,1] (alpha already dropped).
+        Returns dict with 'mask' (H, W) uint8 class ids, 'color_mask'
+        (H, W, 3) uint8, 'class_names'.
+        Mirrors reference app.py:220-326: resize+pad to the model's target
+        size, forward, inverse geometry on the scores (bilinear), argmax.
+        """
+        if model_name not in self.models:
+            raise KeyError(
+                f"unknown model {model_name!r}; available: {self.available()}"
+            )
+        entry = self.models[model_name]
+        t = entry.target_size
+        staged, meta = G.resize_with_padding_np(
+            image.astype(np.float32), t, method="linear", antialias=True
+        )
+        inputs = [jnp.asarray(staged[None].astype(np.float32))]
+        if entry.needs_prompt:
+            pm = (
+                prompt_mask
+                if prompt_mask is not None
+                else np.zeros(image.shape[:2], np.float32)
+            )
+            pm_staged, _ = G.resize_with_padding_np(
+                pm[..., None].astype(np.float32), t, method="linear", antialias=True
+            )
+            inputs.append(jnp.asarray(pm_staged[None].astype(np.float32)))
+        scores = np.asarray(entry.forward(*inputs))[0]  # (T, T, C)
+        restored = G.invert_resize_padding_np(scores, meta, method="linear")
+        mask = restored.argmax(axis=-1).astype(np.uint8)
+        return {
+            "mask": mask,
+            "color_mask": colorize_mask(mask, COLOR_MAP),
+            "class_names": list(entry.class_names),
+        }

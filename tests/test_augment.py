@@ -1,0 +1,238 @@
+"""Augmentation tests: host offline pipeline (reference
+utils/augmentation.ipynb semantics) and on-device jitted batch augs."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_segmentation_tpu.data.augment import (
+    AUGMENTERS,
+    combine_images_preserve_aspect_ratio,
+    generate_augmented_dataset,
+    generate_combinations,
+    pad_to_square_resize,
+)
+from image_segmentation_tpu.data.dataset import ArrayDataset
+from image_segmentation_tpu.data.prompts import (
+    create_gaussian_heatmap,
+    generate_prompt_dataset,
+    make_prompt_triplets_for_sample,
+    select_dominant_class,
+)
+from image_segmentation_tpu.ops import augment as dev_aug
+
+
+def _sample(h=100, w=150, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    label = np.zeros((h, w), np.int32)
+    label[:, w // 2 :] = 1
+    label[: h // 3, :] = 2
+    return img, label
+
+
+class TestHostAugmenters:
+    def test_pad_to_square_resize(self):
+        img, label = _sample()
+        out_img, out_lab = pad_to_square_resize(img, label, 64)
+        assert out_img.shape == (64, 64, 3)
+        assert out_lab.shape == (64, 64)
+        # label keeps original class ids only
+        assert set(np.unique(out_lab)).issubset({0, 1, 2})
+        # vertical padding bands (h=100 < w=150) are zero
+        assert np.all(out_img[:10] == 0)
+
+    def test_all_augmenters_produce_fixed_shape(self):
+        img, label = _sample()
+        rng = np.random.default_rng(0)
+        for name, fn in AUGMENTERS.items():
+            a_img, a_lab = fn(img, label, rng, 64)
+            assert a_img.shape == (64, 64, 3), name
+            assert a_lab.shape == (64, 64), name
+            assert a_img.dtype == np.float32, name
+            assert np.isfinite(a_img).all(), name
+            assert set(np.unique(a_lab)).issubset({0, 1, 2}), name
+
+    def test_masking_shares_mask_between_image_and_label(self):
+        img = np.ones((256, 256, 3), np.float32)
+        label = np.ones((256, 256), np.int32)
+        rng = np.random.default_rng(1)
+        a_img, a_lab = AUGMENTERS["masking"](img, label, rng, 256)
+        img_dropped = a_img[..., 0] == 0
+        lab_dropped = a_lab == 0
+        np.testing.assert_array_equal(img_dropped, lab_dropped)
+        assert 0.02 < img_dropped.mean() < 0.5  # ~p=0.15 of coarse cells
+
+    def test_grayscale_channels_equal(self):
+        img, label = _sample()
+        g, _ = AUGMENTERS["grayscale"](img, label, None, 64)
+        np.testing.assert_array_equal(g[..., 0], g[..., 1])
+        np.testing.assert_array_equal(g[..., 1], g[..., 2])
+
+    def test_blur_reduces_variance(self):
+        img, label = _sample()
+        b, _ = AUGMENTERS["blur"](img, label, None, 64)
+        base, _ = pad_to_square_resize(img, label, 64)
+        assert b.var() < base.var()
+
+    def test_contrast_compresses_range(self):
+        img, label = _sample()
+        rng = np.random.default_rng(2)
+        c, _ = AUGMENTERS["contrast"](img, label, rng, 64)
+        base, _ = pad_to_square_resize(img, label, 64)
+        # content region range shrinks toward 0.5 (alpha <= 0.6)
+        assert (c.max() - c.min()) < (base.max() - base.min())
+
+    def test_combine_side_by_side(self):
+        img1 = np.full((100, 80, 3), 0.25, np.float32)
+        img2 = np.full((50, 120, 3), 0.75, np.float32)
+        out = combine_images_preserve_aspect_ratio(img1, img2, 64)
+        assert out.shape == (64, 64, 3)
+        left = out[:, :32]
+        right = out[:, 32:]
+        assert (left == 0.25).any() and not (left == 0.75).any()
+        assert (right == 0.75).any() and not (right == 0.25).any()
+
+    def test_combine_labels(self):
+        lab1 = np.full((100, 80), 1, np.int32)
+        lab2 = np.full((50, 120), 2, np.int32)
+        out = combine_images_preserve_aspect_ratio(lab1, lab2, 64, is_label=True)
+        assert set(np.unique(out)) == {0, 1, 2}
+
+    def test_generate_combinations(self):
+        s1 = [(_sample(60, 40, 1)[0], np.full((60, 40), 1, np.int32))]
+        s2 = [(_sample(40, 60, 2)[0], np.full((40, 60), 2, np.int32))]
+        merged = generate_combinations(s1, s2, 3, np.random.default_rng(0), 64)
+        assert len(merged) == 3
+        for img, lab in merged:
+            assert img.shape == (64, 64, 3)
+            assert {1, 2}.issubset(set(np.unique(lab)))
+
+
+class TestOfflineExpansion:
+    def test_class_balancing_expansion(self):
+        # 4 cat-dominant, 1 dog-dominant images
+        items = []
+        for i in range(5):
+            img = np.random.default_rng(i).uniform(0, 1, (40, 50, 3)).astype(np.float32)
+            label = np.zeros((40, 50), np.int32)
+            label[10:30, 10:40] = 1 if i < 4 else 2
+            items.append((img, label))
+        ds = generate_augmented_dataset(ArrayDataset(items), seed=0, size=64)
+        # minority (dog) gets all 8 augs; majority fewer
+        assert len(ds) > 5  # expanded
+        n_cat = sum(
+            1 for i in range(len(ds)) if (ds[i][1] == 1).sum() > (ds[i][1] == 2).sum()
+        )
+        n_dog = len(ds) - n_cat
+        assert n_cat <= 1.7 * n_dog  # balanced within ~factor 1.5 + slack
+
+
+class TestPromptGeneration:
+    def test_gaussian_heatmap(self):
+        rng = np.random.default_rng(0)
+        hm, (cy, cx) = create_gaussian_heatmap((32, 32), rng, sigma=3.0)
+        assert hm.shape == (32, 32)
+        assert hm.max() == 1.0
+        assert hm[cy, cx] == 1.0
+        # mass concentrated near the centre
+        assert hm[(cy + 16) % 32, (cx + 16) % 32] < 1e-3
+
+    def test_select_dominant_class(self):
+        mask = np.zeros((32, 32), np.uint8)
+        mask[:, :16] = 1
+        mask[:, 16:] = 2
+        rng = np.random.default_rng(0)
+        hm, _ = create_gaussian_heatmap((32, 32), rng, sigma=3.0, center=(16, 4))
+        cls, scores = select_dominant_class(hm, mask)
+        assert cls == 1
+        hm2, _ = create_gaussian_heatmap((32, 32), rng, sigma=3.0, center=(16, 28))
+        assert select_dominant_class(hm2, mask)[0] == 2
+
+    def test_triplets_two_distinct_classes(self):
+        img = np.random.default_rng(0).uniform(0, 1, (48, 48, 3)).astype(np.float32)
+        label = np.zeros((48, 48), np.int32)  # bg -> prompt class 1
+        label[:, 24:] = 1  # cat -> prompt class 2
+        trips = make_prompt_triplets_for_sample(
+            img, label, np.random.default_rng(1)
+        )
+        assert len(trips) == 2
+        classes = set()
+        for im, hm, tgt in trips:
+            assert im.shape == (48, 48, 3)
+            assert hm.shape == (48, 48, 1)
+            present = set(np.unique(tgt)) - {0}
+            assert len(present) == 1
+            classes |= present
+        assert len(classes) == 2  # distinct winners
+
+    def test_single_class_sample_skipped(self):
+        img = np.zeros((32, 32, 3), np.float32)
+        label = np.zeros((32, 32), np.int32)  # only background
+        trips = make_prompt_triplets_for_sample(img, label, np.random.default_rng(0))
+        assert trips == []
+
+    def test_generate_prompt_dataset(self):
+        items = []
+        for i in range(3):
+            img = np.random.default_rng(i).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+            label = np.zeros((32, 32), np.int32)
+            label[:, 16:] = 1 + (i % 2)
+            label[0, 0] = 255  # boundary sentinel handled by the remap
+            items.append((img, label))
+        ds = generate_prompt_dataset(ArrayDataset(items), seed=0)
+        assert len(ds) == 6  # 2 triplets per sample
+
+
+class TestDeviceAugmenters:
+    def test_each_augmenter_shapes_and_label_integrity(self):
+        img = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 1, (64, 64, 3)), jnp.float32
+        )
+        label = jnp.asarray(
+            np.random.default_rng(1).integers(0, 4, (64, 64)), jnp.int32
+        )
+        key = jax.random.PRNGKey(0)
+        for fn, name in zip(dev_aug.AUGMENTERS, dev_aug.AUGMENTER_NAMES):
+            a_img, a_lab = fn(img, label, key)
+            assert a_img.shape == img.shape, name
+            assert a_lab.shape == label.shape, name
+            assert set(np.unique(np.asarray(a_lab))).issubset({0, 1, 2, 3}), name
+            assert np.isfinite(np.asarray(a_img)).all(), name
+
+    def test_random_augment_batch_jits_and_varies(self):
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 3)), jnp.float32)
+        labels = jnp.asarray(rng.integers(0, 4, (8, 32, 32)), jnp.int32)
+        out_i, out_l = dev_aug.random_augment_batch(
+            images, labels, jax.random.PRNGKey(0), p_augment=1.0
+        )
+        assert out_i.shape == images.shape
+        assert out_l.shape == labels.shape
+        # at least some samples changed
+        changed = np.any(
+            np.asarray(out_i) != np.asarray(images), axis=(1, 2, 3)
+        )
+        assert changed.sum() >= 6
+
+    def test_p_zero_is_identity(self):
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.uniform(0, 1, (4, 32, 32, 3)), jnp.float32)
+        labels = jnp.asarray(rng.integers(0, 4, (4, 32, 32)), jnp.int32)
+        out_i, out_l = dev_aug.random_augment_batch(
+            images, labels, jax.random.PRNGKey(0), p_augment=0.0
+        )
+        np.testing.assert_array_equal(np.asarray(out_i), np.asarray(images))
+        np.testing.assert_array_equal(np.asarray(out_l), np.asarray(labels))
+
+    def test_device_rotation_roughly_matches_host(self):
+        """Device rotate_fit and host rotation share geometry (for a square
+        input the host fit+resize equals the device fit-scale)."""
+        img = np.zeros((64, 64, 3), np.float32)
+        img[24:40, 24:40] = 1.0  # centred square survives any rotation
+        label = np.zeros((64, 64), np.int32)
+        a_img, _ = dev_aug.rotate_fit(
+            jnp.asarray(img), jnp.asarray(label), jax.random.PRNGKey(3)
+        )
+        a = np.asarray(a_img)
+        assert a.max() > 0.9  # content preserved
+        assert a[0, 0].max() < 1e-6  # corners empty

@@ -1,0 +1,155 @@
+"""Serving tests: prompt rendering, engine registry, and the /segment
+handler (reference segmentation_webapp/app.py behavioral contracts)."""
+import base64
+import io
+
+import numpy as np
+import pytest
+
+from image_segmentation_tpu.serve.app import (
+    build_demo_engine,
+    decode_base64_image,
+    encode_png_base64,
+    handle_segment,
+)
+from image_segmentation_tpu.serve.render import (
+    create_prompt_mask,
+    render_bbox,
+    render_points,
+    render_scribble,
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return build_demo_engine()
+
+
+def _b64_image(h=50, w=70, seed=0):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+class TestRender:
+    def test_points_circle_then_blur(self):
+        m = render_points([{"x": 32, "y": 32}], (64, 64))
+        assert m.shape == (64, 64)
+        assert m.max() == 1.0
+        assert m[32, 32] > 0.9
+        assert m[0, 0] < 0.05
+        # blur makes it smooth: value at radius ~20 still nonzero
+        assert m[32, 52] > 0.1
+
+    def test_multiple_points(self):
+        m = render_points([{"x": 10, "y": 10}, {"x": 54, "y": 54}], (64, 64))
+        assert m[10, 10] > 0.5 and m[54, 54] > 0.5
+
+    def test_bbox(self):
+        m = render_bbox({"x": 10, "y": 20, "width": 30, "height": 10}, (64, 64))
+        assert m[25, 20] == 1.0
+        assert m[25, 45] == 0.0
+        assert m[19, 20] == 0.0
+
+    def test_scribble_threshold(self):
+        s = np.zeros((64, 64), np.uint8)
+        s[5:10, 5:10] = 200
+        s[20:25, 20:25] = 5  # below threshold 10
+        m = render_scribble(s, (64, 64))
+        assert m[7, 7] == 1.0
+        assert m[22, 22] == 0.0
+
+    def test_text_prompt_empty(self):
+        m = create_prompt_mask("text", "a cat", (32, 32))
+        assert m.sum() == 0.0
+
+
+class TestEngine:
+    def test_all_four_models_registered(self, engine):
+        assert engine.available() == ["autoencoder", "clip", "prompt_model", "unet"]
+
+    def test_segment_returns_original_size(self, engine):
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 1, (50, 70, 3)).astype(np.float32)
+        out = engine.segment(img, "unet")
+        assert out["mask"].shape == (50, 70)
+        assert out["color_mask"].shape == (50, 70, 3)
+        assert out["class_names"] == ["background", "cat", "dog", "boundary"]
+
+    def test_prompt_model_uses_heatmap(self, engine):
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+        hm = render_points([{"x": 32, "y": 32}], (64, 64))
+        out = engine.segment(img, "prompt_model", prompt_mask=hm)
+        assert out["class_names"] == ["deactivated", "background", "cat", "dog"]
+        assert out["mask"].shape == (64, 64)
+
+    def test_unknown_model_raises(self, engine):
+        with pytest.raises(KeyError):
+            engine.segment(np.zeros((10, 10, 3), np.float32), "nope")
+
+
+class TestHandler:
+    def test_segment_happy_path(self, engine):
+        out = handle_segment(engine, {"image": _b64_image(), "model": "unet"})
+        assert "output_mask" in out
+        png = base64.b64decode(out["output_mask"])
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        assert out["class_names"][1] == "cat"
+
+    def test_segment_with_point_prompt(self, engine):
+        out = handle_segment(
+            engine,
+            {
+                "image": _b64_image(64, 64),
+                "model": "prompt_model",
+                "prompt_type": "points",
+                "prompt_data": [{"x": 30, "y": 30}],
+            },
+        )
+        assert "output_mask" in out
+        assert out["class_names"][0] == "deactivated"
+
+    def test_segment_with_label(self, engine):
+        from PIL import Image
+
+        lab = np.zeros((50, 70), np.uint8)
+        lab[:, 35:] = 1
+        lab[0] = 255  # boundary remaps to 3 -> blue
+        buf = io.BytesIO()
+        Image.fromarray(lab).save(buf, format="PNG")
+        out = handle_segment(
+            engine,
+            {
+                "image": _b64_image(),
+                "model": "unet",
+                "label": base64.b64encode(buf.getvalue()).decode(),
+            },
+        )
+        assert "output_label" in out
+
+    def test_missing_fields(self, engine):
+        assert "error" in handle_segment(engine, {})
+        assert "error" in handle_segment(engine, {"model": "unet"})
+        bad = handle_segment(engine, {"image": _b64_image(), "model": "zzz"})
+        assert "error" in bad and "available" in bad
+
+    def test_bad_image_data(self, engine):
+        out = handle_segment(engine, {"image": "!!!notbase64", "model": "unet"})
+        assert "error" in out
+
+    def test_decode_data_url(self):
+        b64 = _b64_image(20, 30)
+        img = decode_base64_image("data:image/png;base64," + b64)
+        assert img.shape == (20, 30, 3)
+        assert 0 <= img.min() and img.max() <= 1
+
+    def test_encode_roundtrip(self):
+        arr = np.random.default_rng(0).integers(0, 255, (16, 16, 3), dtype=np.uint8)
+        b64 = encode_png_base64(arr)
+        back = decode_base64_image(b64)
+        np.testing.assert_allclose(back * 255, arr, atol=0.5)
