@@ -1,0 +1,142 @@
+"""Robustness sweep: 8 perturbation types × 10 severities.
+
+Mirrors the reference report's robustness evaluation (PDF §4.1, Fig. 6;
+BASELINE.md "Secondary published findings"): apply each perturbation at
+increasing severity to the eval set and record mean Dice per
+(perturbation, severity).
+
+Perturbations (matched to the report's families):
+  gaussian_noise, salt_pepper, blur, contrast_down, brightness_up,
+  brightness_down, occlusion, pixelate
+
+Usage (library):
+  from benchmarks.robustness import robustness_sweep
+  results = robustness_sweep(state, val_data, num_classes=4)
+"""
+from __future__ import annotations
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from typing import Callable, Dict, List
+
+import numpy as np
+
+from image_segmentation_tpu.metrics import MetricsHistory
+from image_segmentation_tpu.ops import geometry as G
+
+
+def _noise(img, sev, rng):
+    return np.clip(img + rng.normal(0, 0.04 * sev, img.shape), 0, 1)
+
+
+def _salt_pepper(img, sev, rng):
+    out = img.copy()
+    p = 0.02 * sev
+    m = rng.random(img.shape[:2])
+    out[m < p / 2] = 0.0
+    out[(m >= p / 2) & (m < p)] = 1.0
+    return out
+
+
+def _blur(img, sev, rng):
+    from scipy.ndimage import gaussian_filter
+
+    return gaussian_filter(img, sigma=(0.5 * sev, 0.5 * sev, 0))
+
+
+def _contrast_down(img, sev, rng):
+    alpha = 1.0 - 0.095 * sev
+    return np.clip(0.5 + alpha * (img - 0.5), 0, 1)
+
+
+def _brightness_up(img, sev, rng):
+    return np.clip(img + 0.08 * sev, 0, 1)
+
+
+def _brightness_down(img, sev, rng):
+    return np.clip(img - 0.08 * sev, 0, 1)
+
+
+def _occlusion(img, sev, rng):
+    out = img.copy()
+    h, w = img.shape[:2]
+    side = int(min(h, w) * 0.05 * sev)
+    if side > 0:
+        y = rng.integers(0, h - side + 1)
+        x = rng.integers(0, w - side + 1)
+        out[y : y + side, x : x + side] = 0.0
+    return out
+
+
+def _pixelate(img, sev, rng):
+    h, w = img.shape[:2]
+    f = max(1, int(1 + sev))
+    small = G.resize_nearest_np(img, (max(1, h // f), max(1, w // f)))
+    return G.resize_nearest_np(small, (h, w))
+
+
+PERTURBATIONS: Dict[str, Callable] = {
+    "gaussian_noise": _noise,
+    "salt_pepper": _salt_pepper,
+    "blur": _blur,
+    "contrast_down": _contrast_down,
+    "brightness_up": _brightness_up,
+    "brightness_down": _brightness_down,
+    "occlusion": _occlusion,
+    "pixelate": _pixelate,
+}
+
+
+def robustness_sweep(
+    forward,
+    val_data,
+    *,
+    num_classes: int = 4,
+    eval_ignore_index: int = 3,
+    severities: List[int] = list(range(1, 11)),
+    seed: int = 0,
+    batch_size: int = 8,
+    verbose: bool = True,
+) -> Dict[str, List[float]]:
+    """Mean Dice per (perturbation, severity) on a materialised eval set.
+
+    `forward(images_jnp) -> scores` is a jitted model forward;
+    `val_data` a MaterializedDataset with orig_labels kept. Perturbations
+    apply to the already-staged fixed-size inputs (protocol as in the
+    reference report: perturb, predict, score at original resolution).
+    """
+    import jax.numpy as jnp
+
+    results: Dict[str, List[float]] = {}
+    metas_all = val_data.metas
+    n = len(val_data)
+    for name, fn in PERTURBATIONS.items():
+        dices = []
+        for sev in severities:
+            rng = np.random.default_rng(seed + sev)
+            agg = MetricsHistory(num_classes, ignore_index=eval_ignore_index)
+            for start in range(0, n, batch_size):
+                idx = list(range(start, min(start + batch_size, n)))
+                imgs = np.stack(
+                    [fn(val_data.images[i], sev, rng) for i in idx]
+                ).astype(np.float32)
+                scores = np.asarray(forward(jnp.asarray(imgs)))
+                for j, i in enumerate(idx):
+                    meta = G.ResizeMeta(
+                        *(np.asarray(f)[i] for f in metas_all)
+                    )
+                    inv = G.invert_resize_padding_np(scores[j], meta)
+                    agg.accumulate(inv, val_data.orig_labels[i])
+            dice, _, _ = agg.compute_epoch_metrics()
+            dices.append(dice)
+        results[name] = dices
+        if verbose:
+            print(f"{name}: " + " ".join(f"{d:.3f}" for d in dices))
+    return results
+
+
+if __name__ == "__main__":
+    print("robustness_sweep is a library; see docstring for usage")

@@ -74,9 +74,13 @@ class MultiHeadAttention(nn.Module):
 
         q, k, v = split(q), split(k), split(v)
         if self.use_pallas:
+            import jax as _jax
+
             from image_segmentation_tpu.ops.pallas.attention import fused_attention
 
-            out = fused_attention(q, k, v)
+            # interpret mode on CPU so tests exercise the same kernel
+            # (positional: custom_vjp rejects keyword args)
+            out = fused_attention(q, k, v, _jax.default_backend() == "cpu")
         else:
             scale = 1.0 / np.sqrt(head_dim)
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale

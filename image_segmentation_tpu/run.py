@@ -1,0 +1,282 @@
+"""Experiment runner CLI — the replacement for the reference's notebooks
+(SURVEY.md C33: each notebook's cell-0 "main" wired datasets, weights,
+model, loss, AdamW, accumulation and called start()/start_prompt()).
+
+Usage:
+  python -m image_segmentation_tpu.run --config unet_noaug \
+      --data-root /data/pet --save-dir runs/ [--epochs N] [--batch-size N]
+  python -m image_segmentation_tpu.run --config clipunet --synthetic 32
+      # smoke run on synthetic data (no dataset required)
+
+Data layout ({root}/{split}/{color,label}/, class-id PNG labels with the
+255 boundary sentinel — the reference's Train/color + Train/label layout
+from the augmentation notebook).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _synthetic_items(n: int, seed: int = 0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    items = []
+    for i in range(n):
+        h = int(rng.integers(120, 260))
+        w = int(rng.integers(120, 260))
+        img = rng.uniform(0, 0.3, (h, w, 3)).astype(np.float32)
+        label = np.zeros((h, w), np.int32)
+        cls = 1 + (i % 2)
+        label[h // 4 : 3 * h // 4, w // 2 :] = cls
+        img[h // 4 : 3 * h // 4, w // 2 :, cls - 1] += 0.6
+        label[:, w // 2 - 1 : w // 2 + 1] = 255
+        items.append((img, label))
+    return items
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--save-dir", default="runs")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic images instead of real data")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--target-size", type=int, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile-dir", default=None)
+    p.add_argument("--nan-checks", action="store_true")
+    p.add_argument("--pretrained-encoder", default=None,
+                   help="recon AE checkpoint for encoder transfer")
+    p.add_argument("--clip-weights", default=None,
+                   help="converted CLIP ViT params (.npz)")
+    p.add_argument("--clipunet-checkpoint", default=None,
+                   help="trained ClipUNet checkpoint for the prompt model")
+    p.add_argument("--smoke-vit", action="store_true",
+                   help="tiny ViT matched to --target-size (smoke tests "
+                        "of the clip/prompt wiring without the 86M encoder)")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from image_segmentation_tpu import config as C
+    from image_segmentation_tpu.data.dataset import ArrayDataset, SegmentationDataset
+    from image_segmentation_tpu.data.labels import target_remap
+    from image_segmentation_tpu.data.loader import materialize
+    from image_segmentation_tpu.data.augment import generate_augmented_dataset
+    from image_segmentation_tpu.data.prompts import generate_prompt_dataset
+    from image_segmentation_tpu.losses.host import (
+        dice_ce_loss_np,
+        dice_nll_loss_np,
+    )
+    from image_segmentation_tpu.parallel.mesh import get_mesh
+    from image_segmentation_tpu.train import create_train_state
+    from image_segmentation_tpu.train import checkpoint as ckpt
+    from image_segmentation_tpu.train.loop import fit
+    from image_segmentation_tpu.train.state import subtree_mask
+    from image_segmentation_tpu.utils import enable_nan_checks, trace_context
+
+    if args.config not in C.CONFIGS:
+        sys.exit(f"unknown config {args.config!r}; have {sorted(C.CONFIGS)}")
+    cfg = C.CONFIGS[args.config]
+    overrides = {}
+    if args.epochs is not None:
+        overrides["epochs"] = args.epochs
+    if args.batch_size is not None:
+        overrides["batch_size"] = args.batch_size
+    if args.target_size is not None:
+        overrides["target_size"] = args.target_size
+    cfg = C.override(cfg, **overrides)
+
+    if args.nan_checks:
+        enable_nan_checks()
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    print(f"[run] config={cfg.name} platform={jax.devices()[0].platform} "
+          f"devices={jax.device_count()}")
+
+    # ---- data ----
+    if args.synthetic:
+        train_items = _synthetic_items(args.synthetic, seed=cfg.seed)
+        val_items = _synthetic_items(max(4, args.synthetic // 4), seed=cfg.seed + 1)
+        train_raw = ArrayDataset(train_items)
+        val_raw = ArrayDataset(val_items)
+    else:
+        if not args.data_root:
+            sys.exit("--data-root or --synthetic required")
+        mk = lambda split: SegmentationDataset(
+            os.path.join(args.data_root, split, "color"),
+            os.path.join(args.data_root, split, "label"),
+        )
+        train_raw, val_raw = mk("Train"), mk("Val")
+
+    if cfg.augment and not cfg.augment_online:
+        print("[run] materialising offline augmentation …")
+        train_raw = generate_augmented_dataset(train_raw, seed=cfg.seed,
+                                               size=cfg.target_size)
+
+    def remap_ds(ds):
+        return ArrayDataset(
+            [(ds[i][0], target_remap(np.asarray(ds[i][1]))) for i in range(len(ds))]
+        )
+
+    if cfg.model == "prompt":
+        train_raw = generate_prompt_dataset(train_raw, seed=cfg.seed)
+        val_raw = generate_prompt_dataset(val_raw, seed=cfg.seed + 1)
+    else:
+        train_raw = remap_ds(train_raw)
+        val_raw = remap_ds(val_raw)
+
+    print(f"[run] materialising {len(train_raw)} train / {len(val_raw)} val "
+          f"items at {cfg.target_size}px …")
+    train_data = materialize(train_raw, cfg.target_size)
+    val_data = materialize(val_raw, cfg.target_size, keep_orig_labels=True)
+
+    # ---- model / loss / optimizer ----
+    if args.smoke_vit and cfg.model in ("clipunet", "clipunet_noskips", "prompt"):
+        import jax.numpy as _jnp
+
+        from image_segmentation_tpu.models.clip_unet import (
+            ClipUNet,
+            ClipUNetNoSkips,
+        )
+        from image_segmentation_tpu.models.clip_vit import ClipViTConfig
+        from image_segmentation_tpu.models.prompt import PromptModel
+
+        vit = ClipViTConfig(
+            image_size=cfg.target_size, patch_size=16, hidden_size=64,
+            num_layers=4, num_heads=4, mlp_dim=128,
+        )
+        # enough up-blocks to climb from the ViT grid back to target_size
+        import math
+
+        n_up = int(math.log2(16))  # patch 16 -> 4 doublings
+        chans = tuple(max(8, 64 >> i) for i in range(n_up + 1))
+        common = dict(num_classes=cfg.num_classes, vit=vit)
+        if cfg.model == "clipunet":
+            model = ClipUNet(skip_indices=(1, 2, 3, 4),
+                             decoder_channels=chans, **common)
+        elif cfg.model == "clipunet_noskips":
+            model = ClipUNetNoSkips(decoder_channels=chans, **common)
+        else:
+            model = PromptModel(
+                freeze_clip=cfg.freeze_encoder, vit=vit,
+                skip_indices=(1, 2, 3, 4), decoder_channels=chans,
+                unet_base=8,
+            )
+    else:
+        model = C.build_model(cfg, on_tpu=on_tpu)
+    loss_fn = C.build_loss(cfg)
+    sample = [jnp.zeros((1, cfg.target_size, cfg.target_size, 3))]
+    if cfg.model == "prompt":
+        sample.append(jnp.zeros((1, cfg.target_size, cfg.target_size, 1)))
+    variables = model.init(jax.random.PRNGKey(cfg.seed), *sample, train=False)
+
+    params = variables["params"]
+    if cfg.model == "autoencoder" and args.pretrained_encoder:
+        params = ckpt.load_subtree(
+            args.pretrained_encoder, params,
+            src_prefix="encoder", dst_prefix="encoder",
+        )
+        print("[run] loaded pretrained AE encoder")
+    if cfg.model in ("clipunet", "clipunet_noskips", "prompt") and args.clip_weights:
+        from image_segmentation_tpu.models.clip_vit import load_pretrained_clip_params
+
+        clip_params = load_pretrained_clip_params(cache_path=args.clip_weights)
+        dst = "clip/encoder" if cfg.model == "prompt" else "encoder"
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(params, sep="/")
+        cflat = flax.traverse_util.flatten_dict(clip_params, sep="/")
+        for k, v in cflat.items():
+            flat[f"{dst}/{k}"] = jnp.asarray(v)
+        params = flax.traverse_util.unflatten_dict(flat, sep="/")
+        print("[run] loaded pretrained CLIP ViT weights")
+    if cfg.model == "prompt" and args.clipunet_checkpoint:
+        params = ckpt.load_subtree(
+            args.clipunet_checkpoint, params, src_prefix="", dst_prefix="clip"
+        )
+        print("[run] injected trained ClipUNet into the prompt model")
+
+    frozen = []
+    if cfg.model == "autoencoder" and cfg.freeze_encoder and args.pretrained_encoder:
+        frozen.append("encoder")
+    if cfg.model == "prompt" and cfg.freeze_encoder:
+        frozen.append("clip")
+    mask = subtree_mask(params, tuple(frozen)) if frozen else None
+    tx = C.build_optimizer(cfg, trainable_mask=mask)
+
+    from image_segmentation_tpu.train.state import TrainState
+
+    state = TrainState(
+        step=0,
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        apply_fn=model.apply,
+        tx=tx,
+    )
+
+    mesh = None  # built below once the step batch size is known
+
+    if cfg.model == "prompt":
+        host_loss = lambda lg, lb: dice_nll_loss_np(lg, lb, loss_fn)
+    else:
+        host_loss = lambda lg, lb: dice_ce_loss_np(lg, lb, loss_fn)
+
+    augment_fn = None
+    if cfg.augment and cfg.augment_online and cfg.model != "prompt":
+        from image_segmentation_tpu.ops.augment import random_augment_batch
+
+        augment_fn = random_augment_batch
+        print("[run] online on-device augmentation enabled")
+
+    # fit() takes the TOTAL per-step batch (the reference's effective batch
+    # of 64, utils/training.py:49-56) and splits it into accum_steps
+    # microbatches of cfg.batch_size inside the jitted step. Clamp for tiny
+    # datasets so at least one full step exists per epoch.
+    accum = max(1, min(cfg.accum_steps, len(train_data) // cfg.batch_size))
+    step_batch = cfg.batch_size * accum
+    if jax.device_count() > 1:
+        # shard over the largest device count that divides the batch
+        n_dev = max(
+            k for k in range(1, jax.device_count() + 1) if step_batch % k == 0
+        )
+        if n_dev > 1:
+            mesh = get_mesh(jax.devices()[:n_dev])
+            print(f"[run] data-parallel over {n_dev} devices")
+        else:
+            print("[run] batch not divisible by any device count; "
+                  "running single-device")
+    with trace_context(args.profile_dir):
+        result = fit(
+            state,
+            train_data,
+            val_data,
+            loss_fn=loss_fn,
+            epochs=cfg.epochs,
+            batch_size=step_batch,
+            accum_steps=accum,
+            save_dir=args.save_dir,
+            name=cfg.name,
+            host_loss_fn=host_loss,
+            num_classes=cfg.num_classes,
+            eval_ignore_index=cfg.eval_ignore_index,
+            eval_batch_size=cfg.batch_size,
+            mesh=mesh,
+            resume=args.resume,
+            seed=cfg.seed,
+            augment_fn=augment_fn,
+        )
+    print(f"[run] done: best {result.best}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

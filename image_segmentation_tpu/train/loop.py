@@ -33,7 +33,7 @@ from image_segmentation_tpu.data.loader import (
 )
 from image_segmentation_tpu.metrics import MetricsHistory
 from image_segmentation_tpu.ops import geometry as G
-from image_segmentation_tpu.parallel.mesh import shard_batch
+from image_segmentation_tpu.parallel.mesh import replicate, shard_batch
 from image_segmentation_tpu.train import checkpoint as ckpt
 from image_segmentation_tpu.train.steps import make_eval_forward, make_train_step
 
@@ -142,9 +142,13 @@ def fit(
     notes: str = "",
     verbose: bool = True,
     save_weights_only_copy: bool = True,
+    augment_fn=None,
 ) -> FitResult:
     """Train with per-epoch original-resolution validation and
-    best-val-mIoU checkpointing (reference utils/training.py:453-618)."""
+    best-val-mIoU checkpointing (reference utils/training.py:453-618).
+
+    `augment_fn(images, labels, key) -> (images, labels)` applies
+    on-device online augmentation per batch (ops.augment)."""
     os.makedirs(save_dir, exist_ok=True)
     ckpt_path = os.path.join(save_dir, name)
     weights_path = os.path.join(save_dir, "MO_" + name)
@@ -164,6 +168,9 @@ def fit(
             print(f"Resumed {name} at epoch {start_epoch} "
                   f"(best miou {best['miou']:.4f})")
 
+    if mesh is not None:
+        state = replicate(state, mesh)
+
     has_aux = train_data.has_heatmaps
     train_step = make_train_step(loss_fn, accum_steps=accum_steps,
                                  has_aux_input=has_aux)
@@ -176,8 +183,12 @@ def fit(
         if verbose:
             print(f"Epoch {epoch + 1}/{epochs} [{name}]")
         losses = []
+        aug_key = jax.random.PRNGKey(seed * 100003 + epoch)
         for batch in train_batches(train_data, batch_size, rng):
             batch = tuple(jax.numpy.asarray(x) for x in batch)
+            if augment_fn is not None and len(batch) == 2:
+                aug_key, k = jax.random.split(aug_key)
+                batch = augment_fn(batch[0], batch[1], k)
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
             state, loss = train_step(state, batch)

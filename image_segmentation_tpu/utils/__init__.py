@@ -1,0 +1,7 @@
+from image_segmentation_tpu.utils.profiling import (
+    StepTimer,
+    enable_nan_checks,
+    trace_context,
+)
+
+__all__ = ["StepTimer", "trace_context", "enable_nan_checks"]

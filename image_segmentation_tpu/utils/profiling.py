@@ -1,0 +1,86 @@
+"""Tracing / profiling / debugging hooks (SURVEY.md §5.1-5.2).
+
+The reference has none of this (tqdm postfix strings were its whole
+observability story, reference utils/training.py:37,60). TPU-native
+equivalents:
+
+  * `trace_context(logdir)` — wraps a code region in a `jax.profiler`
+    trace; view the dump with TensorBoard's profile plugin or xprof.
+  * `StepTimer` — wall-clock per-step timing with warmup skip and
+    images/sec summaries (device-synced via value fetch: see bench.py —
+    block_until_ready can no-op over remote device tunnels).
+  * `enable_nan_checks()` — flips `jax_debug_nans` (the race-detector /
+    sanitizer analogue for a functional array program: any NaN produced
+    under jit raises at the producing op).
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import List, Optional
+
+
+@contextlib.contextmanager
+def trace_context(logdir: Optional[str] = None):
+    """Profile the enclosed region with jax.profiler (no-op if logdir is
+    None)."""
+    if logdir is None:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def enable_nan_checks(enable: bool = True) -> None:
+    import jax
+
+    jax.config.update("jax_debug_nans", enable)
+
+
+class StepTimer:
+    """Per-step wall-clock timing with warmup exclusion."""
+
+    def __init__(self, warmup_steps: int = 2):
+        self.warmup_steps = warmup_steps
+        self.times: List[float] = []
+        self._t0: Optional[float] = None
+        self._count = 0
+
+    def start(self) -> None:
+        self._t0 = time.perf_counter()
+
+    def stop(self) -> None:
+        if self._t0 is None:
+            return
+        dt = time.perf_counter() - self._t0
+        self._t0 = None
+        self._count += 1
+        if self._count > self.warmup_steps:
+            self.times.append(dt)
+
+    @contextlib.contextmanager
+    def step(self):
+        self.start()
+        try:
+            yield
+        finally:
+            self.stop()
+
+    @property
+    def mean_s(self) -> float:
+        return sum(self.times) / len(self.times) if self.times else float("nan")
+
+    def images_per_sec(self, batch_size: int) -> float:
+        m = self.mean_s
+        return batch_size / m if m == m and m > 0 else float("nan")
+
+    def summary(self, batch_size: Optional[int] = None) -> str:
+        s = f"{len(self.times)} steps, mean {self.mean_s * 1e3:.2f} ms"
+        if batch_size:
+            s += f", {self.images_per_sec(batch_size):.1f} img/s"
+        return s
