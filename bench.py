@@ -45,7 +45,10 @@ def main() -> None:
     platform = jax.devices()[0].platform
     on_accel = platform != "cpu"
     size = args.size if on_accel else 64
-    batch = args.batch or (32 if on_accel else 4)
+    # B=128 saturates one v5e chip for the 256px UNet (B=192+ fails to
+    # compile/fit); CLIP at 224px uses a smaller default.
+    default_batch = (128 if args.model == "unet" else 32) if on_accel else 4
+    batch = args.batch or default_batch
     steps = args.steps if on_accel else 3
 
     if args.model == "unet":
@@ -55,7 +58,8 @@ def main() -> None:
         size_used = size
     else:
         model = ClipUNet(num_classes=4,
-                         dtype=jnp.bfloat16 if on_accel else jnp.float32)
+                         dtype=jnp.bfloat16 if on_accel else jnp.float32,
+                         use_pallas_attention=on_accel)
         name = "clipunet"
         size_used = 224
 

@@ -19,17 +19,25 @@ import jax
 import jax.numpy as jnp
 
 
-def _weighted_pixel_mean(pix_loss, targets, weights, ignore_index, num_classes):
-    valid = jnp.ones_like(targets, dtype=jnp.float32)
+def _nll_from_logp(logp, targets, weights, ignore_index, num_classes):
+    """sum_i w[y_i]·(−logp_i[y_i]) / sum_i w[y_i] via one-hot contractions.
+
+    TPU note: per-pixel gathers (take_along_axis / w[targets]) lower to
+    scatter-gather loops that dominate the whole train step; expressing
+    the select as one_hot·logp keeps everything on the VPU/MXU.
+    """
+    onehot = jax.nn.one_hot(targets, num_classes, dtype=jnp.float32)
+    pix = -jnp.sum(logp * onehot, axis=-1)
     if ignore_index is not None:
-        valid = jnp.where(targets == ignore_index, 0.0, valid)
+        valid = jnp.where(targets == ignore_index, 0.0, 1.0)
+    else:
+        valid = jnp.ones_like(pix)
     if weights is not None:
         w = jnp.asarray(weights, jnp.float32)
-        safe_t = jnp.clip(targets, 0, num_classes - 1)
-        pix_w = w[safe_t] * valid
+        pix_w = jnp.sum(onehot * w, axis=-1) * valid
     else:
         pix_w = valid
-    return jnp.sum(pix_loss * pix_w) / jnp.maximum(jnp.sum(pix_w), 1e-12)
+    return jnp.sum(pix * pix_w) / jnp.maximum(jnp.sum(pix_w), 1e-12)
 
 
 def cross_entropy_loss(
@@ -40,11 +48,8 @@ def cross_entropy_loss(
     ignore_index: Optional[int] = None,
 ) -> jnp.ndarray:
     num_classes = logits.shape[-1]
-    x = logits.astype(jnp.float32)
-    logp = jax.nn.log_softmax(x, axis=-1)
-    safe_t = jnp.clip(targets, 0, num_classes - 1)
-    pix = -jnp.take_along_axis(logp, safe_t[..., None], axis=-1)[..., 0]
-    return _weighted_pixel_mean(pix, targets, class_weights, ignore_index, num_classes)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return _nll_from_logp(logp, targets, class_weights, ignore_index, num_classes)
 
 
 def nll_loss(
@@ -62,9 +67,7 @@ def nll_loss(
     x = log_probs.astype(jnp.float32)
     if nonlin is not None:
         x = nonlin(x)
-    safe_t = jnp.clip(targets, 0, num_classes - 1)
-    pix = -jnp.take_along_axis(x, safe_t[..., None], axis=-1)[..., 0]
-    return _weighted_pixel_mean(pix, targets, class_weights, ignore_index, num_classes)
+    return _nll_from_logp(x, targets, class_weights, ignore_index, num_classes)
 
 
 def log_with_eps(x: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:

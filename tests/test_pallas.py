@@ -65,3 +65,48 @@ class TestFusedAttention:
         np.testing.assert_allclose(
             np.asarray(last_xla), np.asarray(last_pls), atol=3e-5
         )
+
+
+class TestFusedDoubleConv:
+    def _args(self, N=2, H=32, W=40, Cin=8, C=16, seed=0):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(N, H, W, Cin)), jnp.float32)
+        w1 = jnp.asarray(rng.normal(size=(3, 3, Cin, C)) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(3, 3, C, C)) * 0.1, jnp.float32)
+        s1 = jnp.asarray(rng.uniform(0.5, 1.5, C), jnp.float32)
+        b1 = jnp.asarray(rng.normal(size=C) * 0.1, jnp.float32)
+        s2 = jnp.asarray(rng.uniform(0.5, 1.5, C), jnp.float32)
+        b2 = jnp.asarray(rng.normal(size=C) * 0.1, jnp.float32)
+        return x, w1, s1, b1, w2, s2, b2
+
+    @pytest.mark.parametrize("strip", [8, 16])
+    def test_matches_reference(self, strip):
+        from image_segmentation_tpu.ops.pallas.double_conv import (
+            fused_double_conv,
+            reference_double_conv,
+        )
+
+        args = self._args()
+        got = fused_double_conv(*args, strip=strip, interpret=True)
+        want = reference_double_conv(*args)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-6
+        )
+
+    def test_fold_bn(self):
+        from image_segmentation_tpu.ops.pallas.double_conv import fold_bn
+
+        rng = np.random.default_rng(1)
+        C = 8
+        bias = jnp.asarray(rng.normal(size=C), jnp.float32)
+        mean = jnp.asarray(rng.normal(size=C), jnp.float32)
+        var = jnp.asarray(rng.uniform(0.5, 2.0, C), jnp.float32)
+        gamma = jnp.asarray(rng.uniform(0.5, 1.5, C), jnp.float32)
+        beta = jnp.asarray(rng.normal(size=C), jnp.float32)
+        scale, shift = fold_bn(bias, mean, var, gamma, beta)
+        conv_out = jnp.asarray(rng.normal(size=(4, C)), jnp.float32)
+        fused = conv_out * scale + shift
+        ref = (conv_out + bias - mean) / jnp.sqrt(var + 1e-5) * gamma + beta
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
