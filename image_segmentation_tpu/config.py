@@ -61,6 +61,10 @@ UNET_NOAUG = ExperimentConfig(
 UNET_AUG = ExperimentConfig(
     name="unet_aug", model="unet", target_size=256, augment=True
 )
+RECON_AE = ExperimentConfig(
+    name="recon_ae", model="recon", target_size=256,
+    class_weights=None,  # stage 1: plain MSE reconstruction
+)
 AUTOENCODER = ExperimentConfig(
     name="autoencoder", model="autoencoder", target_size=256,
     freeze_encoder=True,
@@ -78,7 +82,8 @@ PROMPT = ExperimentConfig(
 CONFIGS = {
     c.name: c
     for c in (
-        UNET_NOAUG, UNET_AUG, AUTOENCODER, CLIPUNET, CLIPUNET_NOSKIPS, PROMPT
+        UNET_NOAUG, UNET_AUG, RECON_AE, AUTOENCODER, CLIPUNET,
+        CLIPUNET_NOSKIPS, PROMPT,
     )
 }
 
@@ -96,6 +101,10 @@ def build_model(cfg: ExperimentConfig, on_tpu: bool = True):
 
     dtype = jnp.bfloat16 if (cfg.dtype == "bfloat16" and on_tpu) else jnp.float32
     pallas = cfg.use_pallas_attention and on_tpu
+    if cfg.model == "recon":
+        from image_segmentation_tpu.models import ReconstructionAutoencoder
+
+        return ReconstructionAutoencoder(dtype=dtype)
     if cfg.model == "unet":
         return UNet(num_classes=cfg.num_classes, dtype=dtype)
     if cfg.model == "autoencoder":

@@ -138,6 +138,35 @@ def main(argv=None):
     train_data = materialize(train_raw, cfg.target_size)
     val_data = materialize(val_raw, cfg.target_size, keep_orig_labels=True)
 
+    # ---- stage-1 reconstruction pretraining (autoencoder.ipynb cell 0) ----
+    if cfg.model == "recon":
+        from image_segmentation_tpu.train.loop import fit_reconstruction
+        from image_segmentation_tpu.train.state import make_adamw
+        from image_segmentation_tpu.train import create_train_state
+
+        model = C.build_model(cfg, on_tpu=on_tpu)
+        # reference stage 1 uses Adam (no weight decay), lr 1e-3
+        tx = make_adamw(learning_rate=cfg.learning_rate, weight_decay=0.0)
+        state = create_train_state(
+            model, jax.random.PRNGKey(cfg.seed),
+            jnp.zeros((1, cfg.target_size, cfg.target_size, 3)), tx,
+        )
+        originals = [np.asarray(val_raw[i][0]) for i in range(len(val_raw))]
+        accum = max(1, min(cfg.accum_steps, len(train_data) // cfg.batch_size))
+        result = fit_reconstruction(
+            state, train_data, val_data,
+            originals=originals,
+            epochs=cfg.epochs,
+            batch_size=cfg.batch_size * accum,
+            accum_steps=accum,
+            save_dir=args.save_dir,
+            name=cfg.name,
+            resume=args.resume,
+            seed=cfg.seed,
+        )
+        print(f"[run] done: best {result.best}")
+        return result
+
     # ---- model / loss / optimizer ----
     if args.smoke_vit and cfg.model in ("clipunet", "clipunet_noskips", "prompt"):
         import jax.numpy as _jnp
