@@ -125,6 +125,48 @@ class ClipUNet(nn.Module):
         return logits.astype(jnp.float32)
 
 
+class ClipUNetDecoderOnly(nn.Module):
+    """The ClipUNet decoder consuming PRECOMPUTED encoder features.
+
+    TPU-first optimisation (SURVEY.md §7 'Frozen-CLIP efficiency'): with
+    a frozen encoder the ViT output for each (non-augmented) training
+    image never changes, so the features can be materialised once and
+    the per-step work shrinks to the decoder alone — a throughput win
+    the reference never exploited.
+
+    Input `feats` is (N, 1 + len(skip_indices), G, G, H): bottleneck
+    first, then the skips in ascending layer order (the packing from
+    train.feature_cache.encode_clip_features). Parameter names match
+    ClipUNet's decoder exactly (init_conv / dec_i / head), so params
+    transfer verbatim between the two modules (same 'params' subtree,
+    minus 'encoder').
+    """
+
+    num_classes: int = 4
+    decoder_channels: Sequence[int] = (1024, 512, 256, 128, 64)
+    num_skips: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        bottleneck = feats[:, 0]
+        skips = [feats[:, 1 + i] for i in range(self.num_skips)]
+        ch = list(self.decoder_channels)
+        y = nn.Conv(
+            ch[0], (1, 1), dtype=self.dtype, kernel_init=conv_kernel_init,
+            name="init_conv",
+        )(bottleneck.astype(self.dtype))
+        for i, skip in zip(range(len(ch) - 1), reversed(skips)):
+            y = ClipDecoderBlock(ch[i], ch[i + 1], self.dtype, name=f"dec_{i}")(
+                y, skip.astype(self.dtype), train
+            )
+        logits = nn.Conv(
+            self.num_classes, (1, 1), dtype=self.dtype,
+            kernel_init=conv_kernel_init, name="head",
+        )(y)
+        return logits.astype(jnp.float32)
+
+
 class ClipUNetNoSkips(nn.Module):
     """Ablation variant (reference clip/clipunet_noskips.py:121-160)."""
 

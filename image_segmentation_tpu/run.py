@@ -59,6 +59,10 @@ def main(argv=None):
     p.add_argument("--smoke-vit", action="store_true",
                    help="tiny ViT matched to --target-size (smoke tests "
                         "of the clip/prompt wiring without the 86M encoder)")
+    p.add_argument("--cache-features", action="store_true",
+                   help="frozen-CLIP optimisation: precompute encoder "
+                        "features once, train only the decoder (identical "
+                        "trajectory; incompatible with online augmentation)")
     args = p.parse_args(argv)
 
     import jax
@@ -266,6 +270,64 @@ def main(argv=None):
         augment_fn = random_augment_batch
         print("[run] online on-device augmentation enabled")
 
+    eval_state_fn = None
+    if (
+        args.cache_features
+        and cfg.model == "clipunet"
+        and cfg.freeze_encoder
+        and augment_fn is None
+    ):
+        import dataclasses as _dc
+
+        from image_segmentation_tpu.models.clip_unet import ClipUNetDecoderOnly
+        from image_segmentation_tpu.train import feature_cache as FC
+        from image_segmentation_tpu.train.state import TrainState as TS
+
+        vit_cfg = model.vit
+        skips = tuple(sorted(model.skip_indices))
+        print("[run] caching frozen-CLIP features for the train set …")
+        feats = FC.encode_clip_features(
+            params["encoder"], train_data.images, vit_cfg,
+            skip_indices=skips, batch_size=cfg.batch_size,
+            dtype=model.dtype, use_pallas=model.use_pallas_attention,
+            verbose=True,
+        )
+        encoder_params = params["encoder"]
+        full_model = model
+        dec_model = ClipUNetDecoderOnly(
+            num_classes=cfg.num_classes,
+            decoder_channels=tuple(model.decoder_channels),
+            num_skips=len(skips),
+            dtype=model.dtype,
+        )
+        params = FC.decoder_params_from_clipunet(params)
+        model = dec_model
+        train_data = _dc.replace(train_data, images=feats)
+        tx = C.build_optimizer(cfg, trainable_mask=None)
+        # rebuild the training state around the decoder-only model
+        state = TS(
+            step=0,
+            params=params,
+            batch_stats=state.batch_stats,
+            opt_state=tx.init(params),
+            apply_fn=model.apply,
+            tx=tx,
+        )
+
+        def eval_state_fn(state):
+            return TS(
+                step=state.step,
+                params=FC.clipunet_params_from_decoder(
+                    state.params, encoder_params
+                ),
+                batch_stats=state.batch_stats,
+                opt_state=None,
+                apply_fn=full_model.apply,
+                tx=state.tx,
+            )
+
+        print("[run] training decoder-only on cached features")
+
     # fit() takes the TOTAL per-step batch (the reference's effective batch
     # of 64, utils/training.py:49-56) and splits it into accum_steps
     # microbatches of cfg.batch_size inside the jitted step. Clamp for tiny
@@ -302,6 +364,7 @@ def main(argv=None):
             resume=args.resume,
             seed=cfg.seed,
             augment_fn=augment_fn,
+            eval_state_fn=eval_state_fn,
         )
     print(f"[run] done: best {result.best}")
     return result

@@ -143,12 +143,18 @@ def fit(
     verbose: bool = True,
     save_weights_only_copy: bool = True,
     augment_fn=None,
+    eval_state_fn=None,
 ) -> FitResult:
     """Train with per-epoch original-resolution validation and
     best-val-mIoU checkpointing (reference utils/training.py:453-618).
 
     `augment_fn(images, labels, key) -> (images, labels)` applies
-    on-device online augmentation per batch (ops.augment)."""
+    on-device online augmentation per batch (ops.augment).
+
+    `eval_state_fn(state) -> state'` maps the training state to the one
+    used for evaluation — e.g. merging decoder-only params back into the
+    full model when training on cached frozen-encoder features
+    (train.feature_cache)."""
     os.makedirs(save_dir, exist_ok=True)
     ckpt_path = os.path.join(save_dir, name)
     weights_path = os.path.join(save_dir, "MO_" + name)
@@ -198,7 +204,7 @@ def fit(
             print(f"  train: loss={train_loss:.4f}")
 
         val = evaluate(
-            state,
+            eval_state_fn(state) if eval_state_fn is not None else state,
             val_data,
             host_loss_fn=host_loss_fn,
             num_classes=num_classes,
