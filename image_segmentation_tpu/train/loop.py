@@ -157,22 +157,47 @@ def fit(
     (train.feature_cache)."""
     os.makedirs(save_dir, exist_ok=True)
     ckpt_path = os.path.join(save_dir, name)
+    last_path = os.path.join(save_dir, name + "_last")
     weights_path = os.path.join(save_dir, "MO_" + name)
 
     history = _history_new()
     best = {"dice": -1.0, "miou": -1.0, "loss": float("inf")}
     start_epoch = 0
-    if resume and os.path.isdir(ckpt_path):
-        state, meta = ckpt.restore_checkpoint(ckpt_path, state)
-        start_epoch = int(meta.get("epoch", 0)) + 1
-        best.update(meta.get("best", {}))
-        saved_hist = meta.get("history", {})
-        for k in history:
-            if k in saved_hist:
-                history[k] = list(saved_hist[k])
-        if verbose:
-            print(f"Resumed {name} at epoch {start_epoch} "
-                  f"(best miou {best['miou']:.4f})")
+    if resume:
+        # prefer the per-epoch 'last' checkpoint (preemption recovery);
+        # fall back to the best-mIoU one (the reference's resume,
+        # utils/training.py:502-544)
+        source = last_path if os.path.isdir(last_path) else ckpt_path
+        if os.path.isdir(source):
+            state, meta = ckpt.restore_checkpoint(source, state)
+            start_epoch = int(meta.get("epoch", 0)) + 1
+            best.update(meta.get("best", {}))
+            saved_hist = meta.get("history", {})
+            for k in history:
+                if k in saved_hist:
+                    history[k] = list(saved_hist[k])
+            if verbose:
+                print(f"Resumed {name} from {os.path.basename(source)} at "
+                      f"epoch {start_epoch} (best miou {best['miou']:.4f})")
+
+    # Preemption safety (SURVEY.md §5.3 — the reference has none): on
+    # SIGTERM/SIGINT finish the current epoch, save, and return cleanly.
+    import signal
+
+    stop_requested = {"flag": False}
+    prev_handlers = {}
+
+    def _request_stop(signum, frame):
+        stop_requested["flag"] = True
+        print(f"[fit] signal {signum} received — will checkpoint and stop "
+              "after this epoch")
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _request_stop)
+        except ValueError:  # not main thread
+            prev_handlers = {}
+            break
 
     if mesh is not None:
         state = replicate(state, mesh)
@@ -235,6 +260,18 @@ def fit(
             if verbose:
                 print(f"  saved checkpoint (new best miou {val['iou']:.4f})")
 
+        # per-epoch 'last' checkpoint: preemption/crash recovery point
+        ckpt.save_checkpoint(
+            last_path, state, epoch=epoch, best=best, history=history,
+            notes=notes,
+        )
+        if stop_requested["flag"]:
+            if verbose:
+                print(f"[fit] stopping after epoch {epoch + 1} on request")
+            break
+
+    for sig, h in prev_handlers.items():
+        signal.signal(sig, h)
     return FitResult(state=state, history=history, best=best)
 
 

@@ -95,10 +95,11 @@ def make_train_step(
     return train_step
 
 
-def make_eval_forward(has_aux_input: bool = False):
+def make_eval_forward():
     """Jitted inference forward (BatchNorm in running-average mode).
 
-    Returns forward(state, *inputs) -> model output (logits or probs).
+    Returns forward(state, *inputs) -> model output (logits or probs);
+    works for any number of model inputs (image, or image + heatmap).
     """
 
     @jax.jit
