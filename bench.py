@@ -27,7 +27,7 @@ import numpy as np
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="unet", choices=["unet", "clipunet"])
-    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--steps", type=int, default=10)
     p.add_argument("--batch", type=int, default=0, help="0 = auto")
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--infer", action="store_true", help="benchmark inference")

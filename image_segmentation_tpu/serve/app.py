@@ -263,6 +263,9 @@ def main():
     p.add_argument("--models-dir", default=None)
     p.add_argument("--demo", action="store_true",
                    help="random-weight registry (no checkpoints needed)")
+    p.add_argument("--max-batch", type=int, default=0,
+                   help="enable request micro-batching with this batch size "
+                        "(serve/batching.py); 0 = per-request forwards")
     args = p.parse_args()
 
     if args.demo or not args.models_dir:
@@ -270,6 +273,11 @@ def main():
         engine = build_demo_engine()
     else:
         engine = build_engine_from_checkpoints(args.models_dir)
+    if args.max_batch > 1:
+        from image_segmentation_tpu.serve.batching import BatchingEngine
+
+        engine = BatchingEngine(engine, max_batch=args.max_batch)
+        print(f"[serve] request batching enabled (max_batch={args.max_batch})")
 
     server = ThreadingHTTPServer((args.host, args.port), make_handler(engine))
     print(f"[serve] listening on http://{args.host}:{args.port} "

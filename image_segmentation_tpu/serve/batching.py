@@ -1,0 +1,199 @@
+"""Request micro-batching for serving.
+
+The reference webapp runs one eager forward per HTTP request on CPU
+(reference segmentation_webapp/app.py:281-288). On an accelerator,
+single-image forwards waste almost the whole chip; this wrapper
+collects concurrent requests into fixed-shape batches:
+
+  * per-model FIFO queues; a worker thread drains a queue into a batch
+    of up to `max_batch`, waiting at most `max_wait_ms` for stragglers;
+  * batches are PADDED to `max_batch` by repeating the last item, so
+    the jitted forward compiles exactly once per model;
+  * host-side staging (resize+pad) and un-staging (inverse geometry,
+    argmax, colourise) run in the caller's thread — only the device
+    forward is serialised.
+
+Single-stream latency is unchanged (one request → one padded batch);
+under concurrency, throughput approaches the batched-forward rate.
+"""
+from __future__ import annotations
+
+import threading
+import time
+from collections import defaultdict, deque
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from image_segmentation_tpu.data.labels import COLOR_MAP, colorize_mask
+from image_segmentation_tpu.ops import geometry as G
+from image_segmentation_tpu.serve.engine import InferenceEngine
+
+
+class _Pending:
+    __slots__ = ("inputs", "event", "scores", "error")
+
+    def __init__(self, inputs):
+        self.inputs = inputs  # tuple of (T,T,C) arrays
+        self.event = threading.Event()
+        self.scores = None
+        self.error = None
+
+
+class BatchingEngine:
+    """Wraps an InferenceEngine with per-model request batching.
+
+    Drop-in `segment()` API; `close()` stops the worker.
+    """
+
+    def __init__(
+        self,
+        engine: InferenceEngine,
+        max_batch: int = 8,
+        max_wait_ms: float = 5.0,
+    ):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._queues: Dict[str, deque] = defaultdict(deque)
+        self._cv = threading.Condition()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- worker -----------------------------------------------------------
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._closed and not any(self._queues.values()):
+                    self._cv.wait()
+                if self._closed:
+                    return
+                name = next(m for m, q in self._queues.items() if q)
+                q = self._queues[name]
+                # accumulate until the batch is full or the window closes
+                deadline = time.monotonic() + self.max_wait_s
+                while len(q) < self.max_batch and not self._closed:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(timeout=remaining)
+                batch = [q.popleft() for _ in range(min(len(q), self.max_batch))]
+            self._process(name, batch)
+
+    def _process(self, name: str, batch):
+        entry = self.engine.models[name]
+        try:
+            n_inputs = len(batch[0].inputs)
+            # bucket to the next power of two: at most log2(max_batch)+1
+            # compiled variants per model, ≤2× transfer waste (padding to
+            # max_batch would ship up to max_batch× the bytes)
+            bucket = 1
+            while bucket < len(batch):
+                bucket *= 2
+            stacked = []
+            for i in range(n_inputs):
+                arrs = [p.inputs[i] for p in batch]
+                while len(arrs) < bucket:
+                    arrs.append(arrs[-1])
+                stacked.append(jnp.asarray(np.stack(arrs)))
+            # slice off the padding ON DEVICE so padded rows never cross
+            # the host link
+            scores = np.asarray(
+                entry.forward(*stacked)[: len(batch)], dtype=np.float32
+            )
+            for j, p in enumerate(batch):
+                p.scores = scores[j]
+        except Exception as e:  # pragma: no cover
+            for p in batch:
+                p.error = e
+        finally:
+            for p in batch:
+                p.event.set()
+
+    # -- API --------------------------------------------------------------
+
+    def warmup(self, model_names=None) -> None:
+        """Pre-compile every power-of-two bucket shape for the given models
+        (all registered models by default) so no live request pays a
+        compile stall."""
+        for name in model_names or self.engine.available():
+            entry = self.engine.models[name]
+            t = entry.target_size
+            dt = np.uint8 if getattr(self.engine, "fast_transfer", False) else np.float32
+            b = 1
+            while b <= self.max_batch:
+                inputs = [jnp.asarray(np.zeros((b, t, t, 3), dt))]
+                if entry.needs_prompt:
+                    inputs.append(jnp.asarray(np.zeros((b, t, t, 1), dt)))
+                np.asarray(entry.forward(*inputs)[:1, 0, 0])
+                b *= 2
+
+    def available(self):
+        return self.engine.available()
+
+    @property
+    def models(self):
+        return self.engine.models
+
+    def segment(
+        self,
+        image: np.ndarray,
+        model_name: str,
+        prompt_mask: Optional[np.ndarray] = None,
+        timeout: float = 60.0,
+    ):
+        if model_name not in self.engine.models:
+            raise KeyError(
+                f"unknown model {model_name!r}; available: {self.available()}"
+            )
+        entry = self.engine.models[model_name]
+        t = entry.target_size
+
+        def pack(arr):
+            if getattr(self.engine, "fast_transfer", False):
+                return np.clip(np.round(arr * 255.0), 0, 255).astype(np.uint8)
+            return arr.astype(np.float32)
+
+        staged, meta = G.resize_with_padding_np(
+            image.astype(np.float32), t, method="linear", antialias=True
+        )
+        inputs = [pack(staged)]
+        if entry.needs_prompt:
+            pm = (
+                prompt_mask
+                if prompt_mask is not None
+                else np.zeros(image.shape[:2], np.float32)
+            )
+            pm_staged, _ = G.resize_with_padding_np(
+                pm[..., None].astype(np.float32), t, method="linear",
+                antialias=True,
+            )
+            inputs.append(pack(pm_staged))
+
+        pending = _Pending(tuple(inputs))
+        with self._cv:
+            self._queues[model_name].append(pending)
+            self._cv.notify_all()
+        if not pending.event.wait(timeout):
+            raise TimeoutError("inference worker timed out")
+        if pending.error is not None:
+            raise pending.error
+
+        restored = G.invert_resize_padding_np(
+            pending.scores, meta, method="linear"
+        )
+        mask = restored.argmax(axis=-1).astype(np.uint8)
+        return {
+            "mask": mask,
+            "color_mask": colorize_mask(mask, COLOR_MAP),
+            "class_names": list(entry.class_names),
+        }
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._worker.join(timeout=5)

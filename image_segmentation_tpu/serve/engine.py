@@ -34,8 +34,13 @@ class ModelEntry:
 
 
 class InferenceEngine:
-    def __init__(self):
+    def __init__(self, fast_transfer: bool = True):
+        """fast_transfer compresses host↔device traffic (uint8 inputs,
+        bfloat16 score outputs — ~2.5× fewer bytes per request). Inputs
+        originate from 8-bit images so the quantisation is at the source
+        precision; disable for bit-exact float32 transport."""
         self.models: Dict[str, ModelEntry] = {}
+        self.fast_transfer = fast_transfer
 
     def register(
         self,
@@ -48,10 +53,16 @@ class InferenceEngine:
     ) -> None:
         """Register a flax model + variables under `name` with one jitted
         inference forward."""
+        fast = self.fast_transfer
 
         @jax.jit
         def forward(*inputs):
-            return model.apply(variables, *inputs, train=False)
+            inputs = [
+                x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
+                for x in inputs
+            ]
+            out = model.apply(variables, *inputs, train=False)
+            return out.astype(jnp.bfloat16) if fast else out
 
         self.models[name] = ModelEntry(
             name=name,
@@ -87,10 +98,18 @@ class InferenceEngine:
             )
         entry = self.models[model_name]
         t = entry.target_size
+
+        def pack(arr):
+            if self.fast_transfer:
+                return jnp.asarray(
+                    np.clip(np.round(arr * 255.0), 0, 255).astype(np.uint8)
+                )
+            return jnp.asarray(arr.astype(np.float32))
+
         staged, meta = G.resize_with_padding_np(
             image.astype(np.float32), t, method="linear", antialias=True
         )
-        inputs = [jnp.asarray(staged[None].astype(np.float32))]
+        inputs = [pack(staged[None])]
         if entry.needs_prompt:
             pm = (
                 prompt_mask
@@ -100,8 +119,8 @@ class InferenceEngine:
             pm_staged, _ = G.resize_with_padding_np(
                 pm[..., None].astype(np.float32), t, method="linear", antialias=True
             )
-            inputs.append(jnp.asarray(pm_staged[None].astype(np.float32)))
-        scores = np.asarray(entry.forward(*inputs))[0]  # (T, T, C)
+            inputs.append(pack(pm_staged[None]))
+        scores = np.asarray(entry.forward(*inputs), dtype=np.float32)[0]
         restored = G.invert_resize_padding_np(scores, meta, method="linear")
         mask = restored.argmax(axis=-1).astype(np.uint8)
         return {

@@ -153,3 +153,58 @@ class TestHandler:
         b64 = encode_png_base64(arr)
         back = decode_base64_image(b64)
         np.testing.assert_allclose(back * 255, arr, atol=0.5)
+
+
+class TestBatchingEngine:
+    def test_concurrent_results_match_direct(self, engine):
+        import threading
+
+        from image_segmentation_tpu.serve.batching import BatchingEngine
+
+        be = BatchingEngine(engine, max_batch=4, max_wait_ms=20)
+        try:
+            rng = np.random.default_rng(0)
+            imgs = [
+                rng.uniform(0, 1, (40 + i, 50 + i, 3)).astype(np.float32)
+                for i in range(6)
+            ]
+            want = [engine.segment(im, "unet")["mask"] for im in imgs]
+            got = [None] * len(imgs)
+
+            def run(i):
+                got[i] = be.segment(imgs[i], "unet")["mask"]
+
+            threads = [
+                threading.Thread(target=run, args=(i,)) for i in range(len(imgs))
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            for i in range(len(imgs)):
+                np.testing.assert_array_equal(got[i], want[i])
+        finally:
+            be.close()
+
+    def test_single_request_works(self, engine):
+        from image_segmentation_tpu.serve.batching import BatchingEngine
+
+        be = BatchingEngine(engine, max_batch=8)
+        try:
+            img = np.random.default_rng(1).uniform(0, 1, (30, 40, 3)).astype(
+                np.float32
+            )
+            out = be.segment(img, "clip")
+            assert out["mask"].shape == (30, 40)
+        finally:
+            be.close()
+
+    def test_unknown_model_raises(self, engine):
+        from image_segmentation_tpu.serve.batching import BatchingEngine
+
+        be = BatchingEngine(engine)
+        try:
+            with pytest.raises(KeyError):
+                be.segment(np.zeros((8, 8, 3), np.float32), "nope")
+        finally:
+            be.close()
