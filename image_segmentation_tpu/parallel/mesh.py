@@ -24,6 +24,21 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_distributed(**kwargs) -> None:
+    """Multi-host initialisation (jax.distributed) for multi-slice / DCN
+    deployments. No-op when already initialised or single-host. Call
+    before any other JAX API on each host; afterwards jax.devices()
+    spans the full job and get_mesh() lays the data axis across hosts
+    (batch shards ride ICI within a slice, DCN across slices)."""
+    import jax
+
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:  # already initialised / single-process
+        if "already" not in str(e).lower():
+            raise
+
+
 def get_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     model_parallel: int = 1,

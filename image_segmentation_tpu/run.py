@@ -173,8 +173,6 @@ def main(argv=None):
 
     # ---- model / loss / optimizer ----
     if args.smoke_vit and cfg.model in ("clipunet", "clipunet_noskips", "prompt"):
-        import jax.numpy as _jnp
-
         from image_segmentation_tpu.models.clip_unet import (
             ClipUNet,
             ClipUNetNoSkips,
