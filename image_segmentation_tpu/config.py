@@ -38,6 +38,9 @@ class ExperimentConfig:
     class_weights: Optional[Tuple[float, ...]] = FULL_WEIGHTS
     dice_weight: float = 1.0
     ce_weight: float = 1.0
+    # reference TRAIN losses use smooth_dice=1 (notebooks cell 0); the val
+    # losses keep the 1e-5 default — run.py builds those separately
+    smooth_dice: float = 1.0
     learning_rate: float = 1e-3
     weight_decay: float = 0.01
     epochs: int = 100
@@ -76,7 +79,11 @@ CLIPUNET_NOSKIPS = ExperimentConfig(
     name="clipunet_noskips", model="clipunet_noskips", target_size=224
 )
 PROMPT = ExperimentConfig(
-    name="prompt", model="prompt", target_size=224, freeze_encoder=False
+    name="prompt", model="prompt", target_size=224, freeze_encoder=False,
+    # the reference prompt run's final class_weight is uniform [1,1,1,1]
+    # (prompt.ipynb cell 0 — the pet-class FULL_WEIGHTS make no sense in
+    # the prompt label space {deactivated, bg+boundary, cat, dog})
+    class_weights=None,
 )
 
 CONFIGS = {
@@ -135,19 +142,21 @@ def build_loss(cfg: ExperimentConfig):
     from image_segmentation_tpu.losses import make_dice_ce_loss, make_dice_nll_loss
 
     if cfg.model == "prompt":
-        # prompt: ignore_index 0 'deactivated' trains like the others;
-        # the reference uses Dice+NLL on probabilities
+        # the reference uses Dice+NLL on probabilities (train
+        # ignore_index=None — everything trains, prompt.ipynb cell 0)
         return make_dice_nll_loss(
             dice_weight=cfg.dice_weight,
             nll_weight=cfg.ce_weight,
             class_weights=cfg.class_weights,
             ignore_index=cfg.train_ignore_index,
+            smooth_dice=cfg.smooth_dice,
         )
     return make_dice_ce_loss(
         dice_weight=cfg.dice_weight,
         ce_weight=cfg.ce_weight,
         class_weights=cfg.class_weights,
         ignore_index=cfg.train_ignore_index,
+        smooth_dice=cfg.smooth_dice,
     )
 
 

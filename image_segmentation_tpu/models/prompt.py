@@ -43,11 +43,16 @@ class PromptModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, heatmap, train: bool = False):
+        # freeze_clip=True: the whole branch is frozen (stop_gradient below).
+        # freeze_clip=False is the reference's fine-tuned-CLIP variant
+        # (segmentation_webapp/prompt_model.py:101-102) where ALL clip params
+        # — ViT included — train, so the inner encoder must not
+        # stop-gradient either.
         clip_logits = ClipUNet(
             num_classes=self.num_classes,
             decoder_channels=self.decoder_channels,
             skip_indices=self.skip_indices,
-            freeze_encoder=True,
+            freeze_encoder=self.freeze_clip,
             vit=self.vit,
             dtype=self.dtype,
             use_pallas_attention=self.use_pallas_attention,

@@ -129,13 +129,17 @@ def _resize_pad_one_linear(buf, h, w, target: int, antialias: bool):
 
 
 def _resize_pad_one_nearest(buf, h, w, target: int):
-    """Nearest-neighbour variant for label maps (fill value 0 = background)."""
+    """Nearest-neighbour variant for label maps (fill value 0 = background).
+
+    Legacy floor(dst·in/out) index mapping — what torchvision
+    InterpolationMode.NEAREST applies in the reference's forward path
+    (utils/utils.py:30 with NEAREST → F.interpolate legacy 'nearest')."""
     meta = compute_meta(h, w, target)
     inv_sy = meta.orig_h.astype(jnp.float32) / meta.new_h.astype(jnp.float32)
     inv_sx = meta.orig_w.astype(jnp.float32) / meta.new_w.astype(jnp.float32)
     j = jnp.arange(target, dtype=jnp.float32)
-    src_y = jnp.floor((j - meta.pad_top.astype(jnp.float32) + 0.5) * inv_sy)
-    src_x = jnp.floor((j - meta.pad_left.astype(jnp.float32) + 0.5) * inv_sx)
+    src_y = jnp.floor((j - meta.pad_top.astype(jnp.float32)) * inv_sy)
+    src_x = jnp.floor((j - meta.pad_left.astype(jnp.float32)) * inv_sx)
     yi = jnp.clip(src_y, 0, meta.orig_h - 1).astype(jnp.int32)
     xi = jnp.clip(src_x, 0, meta.orig_w - 1).astype(jnp.int32)
     out = buf[yi[:, None], xi[None, :], :]
@@ -189,7 +193,8 @@ def batched_resize_with_padding(
 
 def _native():
     """The C++ resampler (ops.native) if it built; None → numpy fallback.
-    Identical semantics (tests pin both paths); ~7× faster per image."""
+    Same algorithm in float32 on both paths (tests pin them to ≤5e-6);
+    ~7× faster per image when built."""
     try:
         from image_segmentation_tpu.ops import native
 
@@ -279,14 +284,18 @@ def resize_with_padding_np(
         if native is not None and img.ndim == 3:
             resized = native.resize_linear(img, (new_h, new_w), antialias=antialias)
         else:
-            resized = resize_linear_np(img, (new_h, new_w), antialias=antialias)
+            resized = resize_linear_np(
+                img, (new_h, new_w), antialias=antialias, dtype=np.float32
+            )
     elif method == "nearest":
+        # legacy floor(dst*in/out) mapping — matches the reference's
+        # torchvision NEAREST forward path for label maps
         if native is not None and img.ndim == 3 and np.issubdtype(
             np.asarray(img).dtype, np.floating
         ):
-            resized = native.resize_nearest(img, (new_h, new_w), exact=True)
+            resized = native.resize_nearest(img, (new_h, new_w), exact=False)
         else:
-            resized = resize_nearest_np(img, (new_h, new_w), exact=True)
+            resized = resize_nearest_np(img, (new_h, new_w), exact=False)
     else:
         raise ValueError(method)
     out = np.zeros((target, target) + img.shape[2:], dtype=resized.dtype)
@@ -335,7 +344,11 @@ def invert_resize_padding_np(
             )
     crop = out_tt[pad_top : pad_top + new_h, pad_left : pad_left + new_w]
     if method == "linear":
-        return resize_linear_np(crop, (orig_h, orig_w), antialias=False)
+        # float32 like the native path, so metrics don't depend on whether
+        # the C++ library built (paths agree to ≤1e-7 either way)
+        return resize_linear_np(
+            crop, (orig_h, orig_w), antialias=False, dtype=np.float32
+        )
     elif method == "nearest":
         return resize_nearest_np(crop, (orig_h, orig_w), exact=False)
     raise ValueError(method)

@@ -76,6 +76,16 @@ def _fp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
+def _check_crop(ih: int, iw: int, y0: int, x0: int, ch: int, cw: int) -> None:
+    """Reject out-of-bounds crops BEFORE they reach C++ (a bad crop would
+    be an out-of-bounds heap read there, not an IndexError)."""
+    if y0 < 0 or x0 < 0 or ch <= 0 or cw <= 0 or y0 + ch > ih or x0 + cw > iw:
+        raise ValueError(
+            f"crop (y0={y0}, x0={x0}, h={ch}, w={cw}) outside image "
+            f"({ih}, {iw})"
+        )
+
+
 def resize_linear(
     img: np.ndarray,
     out_hw,
@@ -89,6 +99,7 @@ def resize_linear(
     img = np.ascontiguousarray(img, dtype=np.float32)
     ih, iw, c = img.shape
     y0, x0, ch, cw = crop if crop is not None else (0, 0, ih, iw)
+    _check_crop(ih, iw, y0, x0, ch, cw)
     oh, ow = int(out_hw[0]), int(out_hw[1])
     out = np.empty((oh, ow, c), np.float32)
     lib.resample_linear(
@@ -106,6 +117,7 @@ def resize_nearest(
     img = np.ascontiguousarray(img, dtype=np.float32)
     ih, iw, c = img.shape
     y0, x0, ch, cw = crop if crop is not None else (0, 0, ih, iw)
+    _check_crop(ih, iw, y0, x0, ch, cw)
     oh, ow = int(out_hw[0]), int(out_hw[1])
     out = np.empty((oh, ow, c), np.float32)
     lib.resample_nearest(

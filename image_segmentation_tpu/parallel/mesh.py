@@ -34,9 +34,16 @@ def init_distributed(**kwargs) -> None:
 
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError as e:  # already initialised / single-process
-        if "already" not in str(e).lower():
-            raise
+    except ValueError as e:
+        # single-host: no coordinator address to be discovered
+        if "coordinator" in str(e).lower():
+            return
+        raise
+    except RuntimeError as e:
+        # re-initialisation ("should only be called once")
+        if "once" in str(e).lower() or "already" in str(e).lower():
+            return
+        raise
 
 
 def get_mesh(

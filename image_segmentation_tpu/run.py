@@ -238,8 +238,16 @@ def main(argv=None):
     frozen = []
     if cfg.model == "autoencoder" and cfg.freeze_encoder and args.pretrained_encoder:
         frozen.append("encoder")
+    if cfg.model in ("clipunet", "clipunet_noskips") and cfg.freeze_encoder:
+        # stop_gradient zeroes the grads but AdamW weight decay would still
+        # shrink the pretrained ViT every step — mask it out of the optimizer
+        frozen.append("encoder")
     if cfg.model == "prompt" and cfg.freeze_encoder:
         frozen.append("clip")
+    if cfg.model == "prompt" and not cfg.freeze_encoder:
+        # fine-tuned-CLIP variant: the decoder+ViT train, but nothing is
+        # stop-gradient'ed, so no mask needed
+        pass
     mask = subtree_mask(params, tuple(frozen)) if frozen else None
     tx = C.build_optimizer(cfg, trainable_mask=mask)
 
@@ -256,10 +264,18 @@ def main(argv=None):
 
     mesh = None  # built below once the step batch size is known
 
+    # The reference evaluates with a SEPARATE val loss: ignore_index =
+    # EVAL_IGNORE_INDEX (3) and the default smooth (notebooks cell 0:
+    # val_loss_fn = WeightedDice*Loss(ignore_index=EVAL_IGNORE_INDEX, ...)).
+    import dataclasses as _dc2
+
+    val_loss_fn = _dc2.replace(
+        loss_fn, ignore_index=cfg.eval_ignore_index, smooth_dice=1e-5
+    )
     if cfg.model == "prompt":
-        host_loss = lambda lg, lb: dice_nll_loss_np(lg, lb, loss_fn)
+        host_loss = lambda lg, lb: dice_nll_loss_np(lg, lb, val_loss_fn)
     else:
-        host_loss = lambda lg, lb: dice_ce_loss_np(lg, lb, loss_fn)
+        host_loss = lambda lg, lb: dice_ce_loss_np(lg, lb, val_loss_fn)
 
     augment_fn = None
     if cfg.augment and cfg.augment_online and cfg.model != "prompt":
@@ -330,8 +346,11 @@ def main(argv=None):
     # of 64, utils/training.py:49-56) and splits it into accum_steps
     # microbatches of cfg.batch_size inside the jitted step. Clamp for tiny
     # datasets so at least one full step exists per epoch.
-    accum = max(1, min(cfg.accum_steps, len(train_data) // cfg.batch_size))
-    step_batch = cfg.batch_size * accum
+    micro = min(cfg.batch_size, len(train_data))
+    if micro < cfg.batch_size:
+        print(f"[run] dataset smaller than batch size; using batch {micro}")
+    accum = max(1, min(cfg.accum_steps, len(train_data) // micro))
+    step_batch = micro * accum
     if jax.device_count() > 1:
         # shard over the largest device count that divides the batch
         n_dev = max(

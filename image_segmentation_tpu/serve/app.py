@@ -97,9 +97,10 @@ def build_demo_engine(seed: int = 0) -> InferenceEngine:
         image_size=64, patch_size=16, hidden_size=64, num_layers=3,
         num_heads=4, mlp_dim=128,
     )
+    # grid 4 needs FOUR up-blocks to reach 64px output
     clip = ClipUNet(
-        num_classes=4, vit=vit, skip_indices=(1, 2, 3),
-        decoder_channels=(64, 32, 16, 8),
+        num_classes=4, vit=vit, skip_indices=(0, 1, 2, 3),
+        decoder_channels=(64, 32, 16, 8, 8),
     )
     v = clip.init(key, jnp.zeros((1, 64, 64, 3)), train=False)
     eng.register("clip", clip, v, target_size=64)

@@ -87,12 +87,14 @@ class BatchingEngine:
         entry = self.engine.models[name]
         try:
             n_inputs = len(batch[0].inputs)
-            # bucket to the next power of two: at most log2(max_batch)+1
-            # compiled variants per model, ≤2× transfer waste (padding to
-            # max_batch would ship up to max_batch× the bytes)
+            # bucket to the next power of two, capped at max_batch: at most
+            # log2(max_batch)+1 compiled variants per model, ≤2× transfer
+            # waste (padding straight to max_batch would ship up to
+            # max_batch× the bytes)
             bucket = 1
             while bucket < len(batch):
                 bucket *= 2
+            bucket = min(bucket, self.max_batch)
             stacked = []
             for i in range(n_inputs):
                 arrs = [p.inputs[i] for p in batch]
@@ -123,13 +125,17 @@ class BatchingEngine:
             entry = self.engine.models[name]
             t = entry.target_size
             dt = np.uint8 if getattr(self.engine, "fast_transfer", False) else np.float32
+            buckets = []
             b = 1
-            while b <= self.max_batch:
+            while b < self.max_batch:
+                buckets.append(b)
+                b *= 2
+            buckets.append(self.max_batch)  # the cap bucket itself
+            for b in buckets:
                 inputs = [jnp.asarray(np.zeros((b, t, t, 3), dt))]
                 if entry.needs_prompt:
                     inputs.append(jnp.asarray(np.zeros((b, t, t, 1), dt)))
                 np.asarray(entry.forward(*inputs)[:1, 0, 0])
-                b *= 2
 
     def available(self):
         return self.engine.available()

@@ -121,6 +121,11 @@ class InferenceEngine:
             )
             inputs.append(pack(pm_staged[None]))
         scores = np.asarray(entry.forward(*inputs), dtype=np.float32)[0]
+        if scores.shape[:2] != (t, t):
+            raise ValueError(
+                f"model {model_name!r} emitted {scores.shape[:2]} scores for "
+                f"target_size {t} — registration mismatch"
+            )
         restored = G.invert_resize_padding_np(scores, meta, method="linear")
         mask = restored.argmax(axis=-1).astype(np.uint8)
         return {

@@ -224,7 +224,13 @@ def fit(
                 batch = shard_batch(batch, mesh)
             state, loss = train_step(state, batch)
             losses.append(loss)
-        train_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
+        if not losses:
+            raise ValueError(
+                f"epoch produced zero training batches: dataset size "
+                f"{len(train_data)} < batch_size {batch_size} "
+                "(drop_last requires at least one full batch)"
+            )
+        train_loss = float(np.mean([float(l) for l in losses]))
         if verbose:
             print(f"  train: loss={train_loss:.4f}")
 
