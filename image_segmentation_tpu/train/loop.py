@@ -95,15 +95,50 @@ def evaluate(
     agg.reset()  # (the reference prompt eval forgot this — SURVEY C26 quirk)
 
     losses = []
-    for inputs, _, metas, origs, count in eval_batches(val_data, batch_size):
-        out = np.asarray(forward(state, *(jax.numpy.asarray(x) for x in inputs)))
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=4)
+
+    def _one_image(out_i, meta, label):
+        inv = G.invert_resize_padding_np(out_i, meta, method="linear")
+        loss = host_loss_fn(inv, label) if host_loss_fn is not None else None
+        pred = inv.argmax(axis=-1)
+        idx = label.astype(np.int64) * agg.num_classes + pred.astype(np.int64)
+        conf = np.bincount(
+            idx.reshape(-1), minlength=agg.num_classes**2
+        ).reshape(agg.num_classes, agg.num_classes)
+        return loss, conf
+
+    def _host_side(out, metas, origs, count):
+        # per-image inverse geometry / loss / confusion in a small thread
+        # pool (the native resampler and big numpy ops release the GIL);
+        # the float64 accumulation stays in this thread.
         metas_list = G.metas_to_list(metas)
-        for i in range(count):
-            inv = G.invert_resize_padding_np(out[i], metas_list[i], method="linear")
-            label = origs[i]
-            if host_loss_fn is not None:
-                losses.append(host_loss_fn(inv, label))
-            agg.accumulate(inv, label)
+        results = pool.map(
+            _one_image,
+            (out[i] for i in range(count)),
+            metas_list[:count],
+            (origs[i] for i in range(count)),
+        )
+        for loss, conf in results:
+            if loss is not None:
+                losses.append(loss)
+            agg.accumulate_confusion(conf)
+
+    # Pipeline: dispatch batch k+1's device forward before fetching batch
+    # k's scores, so device compute + host↔device transfer overlap the
+    # host-side inverse geometry / metric work.
+    pending = None
+    for inputs, _, metas, origs, count in eval_batches(val_data, batch_size):
+        out_dev = forward(state, *(jax.numpy.asarray(x) for x in inputs))
+        if pending is not None:
+            p_out, p_metas, p_origs, p_count = pending
+            _host_side(np.asarray(p_out), p_metas, p_origs, p_count)
+        pending = (out_dev, metas, origs, count)
+    if pending is not None:
+        p_out, p_metas, p_origs, p_count = pending
+        _host_side(np.asarray(p_out), p_metas, p_origs, p_count)
+    pool.shutdown()
     dice, iou, acc = agg.compute_epoch_metrics()
     val_loss = float(np.mean(losses)) if losses else float("nan")
     if verbose:
