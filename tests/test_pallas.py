@@ -110,3 +110,69 @@ class TestFusedDoubleConv:
         fused = conv_out * scale + shift
         ref = (conv_out + bias - mean) / jnp.sqrt(var + 1e-5) * gamma + beta
         np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
+
+
+class TestFusedBlocks:
+    def test_down_block_matches_xla(self):
+        from image_segmentation_tpu.ops.pallas.blocks import (
+            fused_down_block,
+            max_pool_2x2,
+        )
+        from image_segmentation_tpu.ops.pallas.double_conv import (
+            reference_double_conv,
+        )
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 8)), jnp.float32)
+        w1 = jnp.asarray(rng.normal(size=(3, 3, 8, 16)) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(3, 3, 16, 16)) * 0.1, jnp.float32)
+        s = jnp.ones(16)
+        b = jnp.zeros(16)
+        got = fused_down_block(x, w1, s, b, w2, s, b, strip=8, interpret=True)
+        want = reference_double_conv(max_pool_2x2(x), w1, s, b, w2, s, b)
+        assert got.shape == (2, 16, 16, 16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-6)
+
+    def test_up_block_matches_xla(self):
+        from image_segmentation_tpu.ops.pallas.blocks import (
+            fused_up_block,
+            transpose_conv_2x2,
+        )
+        from image_segmentation_tpu.ops.pallas.double_conv import (
+            reference_double_conv,
+        )
+
+        rng = np.random.default_rng(1)
+        skip = jnp.asarray(rng.normal(size=(1, 32, 32, 8)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 16)), jnp.float32)
+        up_k = jnp.asarray(rng.normal(size=(2, 2, 16, 8)) * 0.1, jnp.float32)
+        up_b = jnp.asarray(rng.normal(size=(8,)) * 0.1, jnp.float32)
+        w1 = jnp.asarray(rng.normal(size=(3, 3, 16, 8)) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(3, 3, 8, 8)) * 0.1, jnp.float32)
+        s = jnp.ones(8)
+        b = jnp.zeros(8)
+        got = fused_up_block(
+            skip, x, up_k, up_b, w1, s, b, w2, s, b, strip=8, interpret=True
+        )
+        up = transpose_conv_2x2(x, up_k, up_b)
+        cat = jnp.concatenate([skip, up], axis=-1)
+        want = reference_double_conv(cat, w1, s, b, w2, s, b)
+        assert got.shape == (1, 32, 32, 8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-6)
+
+    def test_up_block_doubles_resolution_like_linen(self):
+        """transpose_conv_2x2 must match linen's ConvTranspose(k2 s2 VALID)
+        used by models/layers.py UpConv (same kernel layout)."""
+        import flax.linen as nn
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(1, 8, 8, 4)), jnp.float32)
+        mod = nn.ConvTranspose(6, (2, 2), strides=(2, 2), padding="VALID")
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        want = mod.apply(variables, x)
+        from image_segmentation_tpu.ops.pallas.blocks import transpose_conv_2x2
+
+        got = transpose_conv_2x2(
+            x, variables["params"]["kernel"], variables["params"]["bias"]
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
