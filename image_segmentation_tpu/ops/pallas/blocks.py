@@ -38,7 +38,7 @@ def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def fused_down_block(
-    x, w1, scale1, bias1, w2, scale2, bias2, strip: int = 16,
+    x, w1, scale1, bias1, w2, scale2, bias2, strip: int = 0,
     interpret: bool = False,
 ):
     """maxpool2×2 then fused double-conv (reference Down block)."""
@@ -62,7 +62,7 @@ def transpose_conv_2x2(x, kernel, bias=None):
 
 def fused_up_block(
     skip, x, up_kernel, up_bias, w1, scale1, bias1, w2, scale2, bias2,
-    strip: int = 16, interpret: bool = False,
+    strip: int = 0, interpret: bool = False,
 ):
     """transpose-conv ×2 (halving channels), concat [skip, up], fused
     double-conv (reference Up block — skip first in the concat,

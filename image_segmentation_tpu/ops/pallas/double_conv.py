@@ -134,19 +134,39 @@ def fused_double_conv(
     w2: jnp.ndarray,  # (3, 3, C, C)
     scale2: jnp.ndarray,
     bias2: jnp.ndarray,
-    strip: int = 16,
+    strip: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     n, h, w, cin = x.shape
     c = w1.shape[-1]
-    # strip=16 keeps the working set (two input views, f32 accumulators,
-    # intermediate, double-buffered blocks) under VMEM; 32 overflows at
-    # 256px/64ch. Hardware benchmark: parity with XLA's conv path
-    # (1.02-1.03x) at 256x256x64 bf16 — XLA convs are already near
-    # roofline here, so the kernel's value is the fused single-pass
-    # structure, not a speedup. Kept validated + flag-switchable.
-    assert h % strip == 0 and strip >= 4, (h, strip)
+
+    # Tiny channel counts (the RGB stem, cin=3) crash this environment's
+    # Mosaic lowering despite being tile-legal; zero-pad the input channels
+    # and the matching w1 rows — mathematically identical.
+    if cin < 8:
+        pad_c = 8 - cin
+        x = jnp.pad(x, [(0, 0)] * 3 + [(0, pad_c)])
+        w1 = jnp.pad(w1, [(0, 0), (0, 0), (0, pad_c), (0, 0)])
+        cin = 8
+
     wp = _round_up(w + 4, 16)  # lane-legal padded width (covers bf16)
+
+    # strip=0 → auto-size so the VMEM working set (two input views, the
+    # halo'd intermediate, f32 accumulators, double-buffered blocks) stays
+    # within budget; large strips overflow as an opaque compile failure
+    # (strip 32 already does at 256px/64ch). Hardware benchmark: parity
+    # with XLA's conv path (1.02-1.03x) at 256x256x64 bf16 — the value is
+    # the fused single-pass structure, not a speedup.
+    if strip == 0:
+        bytes_in = 2 if x.dtype == jnp.bfloat16 else 4
+        per_row = wp * (3 * cin * bytes_in + c * (8 + bytes_in))
+        strip = 16
+        while strip > 4 and strip * per_row > 4_000_000:
+            strip //= 2
+        while h % strip and strip > 1:
+            strip //= 2
+        strip = max(strip, 4) if h % 4 == 0 else strip
+    assert h % strip == 0 and strip >= 4, (h, strip)
 
     # rows: 2-row halo on top, then enough bottom padding that the total is
     # h + strip — so view B (block s+1) exists for the last strip; cols:

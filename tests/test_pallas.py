@@ -176,3 +176,22 @@ class TestFusedBlocks:
             x, variables["params"]["kernel"], variables["params"]["bias"]
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+class TestFusedUNet:
+    def test_matches_linen_forward(self):
+        from image_segmentation_tpu.models import UNet
+        from image_segmentation_tpu.models.fused_unet import fused_unet_forward
+
+        model = UNet(num_classes=4, base=8)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        _, mut = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        variables = {"params": variables["params"],
+                     "batch_stats": mut["batch_stats"]}
+        want = model.apply(variables, x, train=False)
+        got = fused_unet_forward(variables, x, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-6
+        )
