@@ -61,8 +61,10 @@ def compute_meta(h, w, target: int):
     hf = jnp.asarray(h, jnp.float32)
     wf = jnp.asarray(w, jnp.float32)
     scale = jnp.minimum(target / hf, target / wf)
-    new_h = jnp.round(hf * scale).astype(jnp.int32)
-    new_w = jnp.round(wf * scale).astype(jnp.int32)
+    # clamp to >=1: extreme aspect ratios can round the short side to 0
+    # (e.g. 3x192 at target 32), which the reference would crash on
+    new_h = jnp.maximum(jnp.round(hf * scale), 1).astype(jnp.int32)
+    new_w = jnp.maximum(jnp.round(wf * scale), 1).astype(jnp.int32)
     pad_top = (target - new_h) // 2
     pad_left = (target - new_w) // 2
     return ResizeMeta(
@@ -275,8 +277,8 @@ def resize_with_padding_np(
     """
     h, w = img.shape[:2]
     scale = min(target / h, target / w)
-    new_h = int(round(h * scale))
-    new_w = int(round(w * scale))
+    new_h = max(1, int(round(h * scale)))
+    new_w = max(1, int(round(w * scale)))
     pad_top = (target - new_h) // 2
     pad_left = (target - new_w) // 2
     native = _native()

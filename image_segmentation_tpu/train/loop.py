@@ -45,6 +45,16 @@ class FitResult:
     best: Dict[str, float]
 
 
+_EVAL_FORWARD = None
+
+
+def _default_eval_forward():
+    global _EVAL_FORWARD
+    if _EVAL_FORWARD is None:
+        _EVAL_FORWARD = make_eval_forward()
+    return _EVAL_FORWARD
+
+
 def _history_new() -> Dict[str, list]:
     return {
         "train_loss": [],
@@ -89,7 +99,9 @@ def evaluate(
         "materialize val data with keep_orig_labels=True"
     )
     if forward is None:
-        forward = make_eval_forward()
+        # module-level singleton: jit caches per (apply_fn, shapes), so one
+        # shared forward avoids recompiling on every evaluate() call
+        forward = _default_eval_forward()
     if agg is None:
         agg = MetricsHistory(num_classes, ignore_index=eval_ignore_index)
     agg.reset()  # (the reference prompt eval forgot this — SURVEY C26 quirk)
@@ -329,7 +341,7 @@ def evaluate_reconstruction(
     reconstruction, MSE against the untouched input image
     (reference utils/training.py:202-239)."""
     if forward is None:
-        forward = make_eval_forward()
+        forward = _default_eval_forward()
     losses = []
     for inputs, _, metas, _, count in eval_batches(val_data, batch_size):
         out = np.asarray(forward(state, jax.numpy.asarray(inputs[0])))
