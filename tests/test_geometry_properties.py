@@ -22,9 +22,17 @@ def test_forward_meta_invariants(h, w, t):
     # padding accounts for the rest
     assert pl_ + nw + pr == t and pt + nh + pb == t
     assert pl_ >= 0 and pt >= 0
-    # aspect ratio preserved within a pixel of rounding
-    if min(nh, nw) > 1:
-        assert abs(nh / nw - h / w) < max(h, w) * 0.5 / min(nh, nw) / min(nh, nw) + 0.2
+    # exact rounding contract: new = max(1, round(orig * scale)) with
+    # scale = min(t/h, t/w)  (reference semantics, utils/utils.py:24-38)
+    scale = min(t / h, t / w)
+    assert nh == max(1, round(h * scale))
+    assert nw == max(1, round(w * scale))
+    # equivalently: each side is within half a pixel of the ideal
+    # aspect-preserving size (unless clamped to 1)
+    if nh > 1:
+        assert abs(nh - h * scale) <= 0.5
+    if nw > 1:
+        assert abs(nw - w * scale) <= 0.5
 
 
 @settings(max_examples=30, deadline=None)
