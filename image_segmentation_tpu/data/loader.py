@@ -32,6 +32,8 @@ class MaterializedDataset:
     metas: G.ResizeMeta  # arrays of shape (N,)
     heatmaps: Optional[np.ndarray] = None
     orig_labels: Optional[List[np.ndarray]] = None
+    # lazily packed by train.fast_eval for the device-side eval protocol
+    label_canvases: Optional[np.ndarray] = None
 
     def __len__(self) -> int:
         return self.images.shape[0]

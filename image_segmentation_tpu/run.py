@@ -59,6 +59,12 @@ def main(argv=None):
     p.add_argument("--smoke-vit", action="store_true",
                    help="tiny ViT matched to --target-size (smoke tests "
                         "of the clip/prompt wiring without the 86M encoder)")
+    p.add_argument("--eval-protocol", default="device",
+                   choices=["device", "host"],
+                   help="original-resolution eval implementation: 'device' "
+                        "(static-canvas inverse + confusion on device, fast) "
+                        "or 'host' (float64 per-image host path, the "
+                        "exactness reference)")
     p.add_argument("--cache-features", action="store_true",
                    help="frozen-CLIP optimisation: precompute encoder "
                         "features once, train only the decoder (identical "
@@ -382,6 +388,8 @@ def main(argv=None):
             seed=cfg.seed,
             augment_fn=augment_fn,
             eval_state_fn=eval_state_fn,
+            eval_protocol=args.eval_protocol,
+            eval_loss_cfg=val_loss_fn,
         )
     print(f"[run] done: best {result.best}")
     return result

@@ -23,6 +23,7 @@ import base64
 import io
 import json
 import os
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -278,7 +279,12 @@ def main():
         from image_segmentation_tpu.serve.batching import BatchingEngine
 
         engine = BatchingEngine(engine, max_batch=args.max_batch)
-        print(f"[serve] request batching enabled (max_batch={args.max_batch})")
+        print(f"[serve] request batching enabled (max_batch={args.max_batch}); "
+              "warming up bucket shapes …")
+        t0 = time.time()
+        engine.warmup()
+        print(f"[serve] warmup done in {time.time() - t0:.1f}s — no live "
+              "request pays a compile stall")
 
     server = ThreadingHTTPServer((args.host, args.port), make_handler(engine))
     print(f"[serve] listening on http://{args.host}:{args.port} "

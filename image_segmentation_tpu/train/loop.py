@@ -78,6 +78,74 @@ def _save_history(save_dir: str, name: str, history: Dict[str, list]):
         f.write(flax.serialization.msgpack_serialize(payload))
 
 
+def _evaluate_device(
+    state,
+    val_data: MaterializedDataset,
+    *,
+    loss_cfg,
+    num_classes: int,
+    agg: MetricsHistory,
+    batch_size: int = 8,
+    verbose: bool = True,
+):
+    """Device-protocol original-resolution eval (see train/fast_eval.py).
+
+    All batches are dispatched back-to-back; only (C, C) confusions and
+    (B,) losses are fetched, after the last dispatch."""
+    from image_segmentation_tpu.train import fast_eval
+
+    if val_data.label_canvases is None:
+        val_data.label_canvases = fast_eval.pack_label_canvases(
+            val_data.orig_labels
+        )
+    canvases = val_data.label_canvases
+    eval_batch = fast_eval.get_eval_batch_fn(
+        canvases.shape[1:], num_classes, loss_cfg
+    )
+    agg.reset()
+    n = len(val_data)
+    results = []
+    for start in range(0, n, batch_size):
+        idx = list(range(start, min(start + batch_size, n)))
+        count = len(idx)
+        while len(idx) < batch_size:
+            idx.append(idx[-1])
+        ii = np.asarray(idx)
+        inputs = (val_data.images[ii],)
+        if val_data.has_heatmaps:
+            inputs = (val_data.images[ii], val_data.heatmaps[ii])
+        metas = G.ResizeMeta(*(np.asarray(f)[ii] for f in val_data.metas))
+        real = np.arange(batch_size) < count
+        conf, losses = eval_batch(
+            state,
+            tuple(jax.numpy.asarray(x) for x in inputs),
+            metas,
+            jax.numpy.asarray(canvases[ii]),
+            jax.numpy.asarray(real),
+        )
+        results.append((conf, losses, count))
+    losses_all = []
+    for conf, losses, count in results:
+        agg.accumulate_confusion(np.asarray(conf))
+        if loss_cfg is not None:
+            losses_all.extend(np.asarray(losses)[:count].tolist())
+    dice, iou, acc = agg.compute_epoch_metrics()
+    val_loss = float(np.mean(losses_all)) if losses_all else float("nan")
+    if verbose:
+        per_iou = agg.get_last_per_class_iou()
+        print(
+            f"  val: loss={val_loss:.4f} acc={acc:.4f} dice={dice:.4f} "
+            f"miou={iou:.4f} per-class IoU={np.round(per_iou, 4).tolist()}"
+        )
+    return {
+        "loss": val_loss,
+        "dice": dice,
+        "iou": iou,
+        "acc": acc,
+        "per_class_iou": np.asarray(agg.get_last_per_class_iou()),
+    }
+
+
 def evaluate(
     state,
     val_data: MaterializedDataset,
@@ -89,21 +157,39 @@ def evaluate(
     forward=None,
     agg: Optional[MetricsHistory] = None,
     verbose: bool = True,
+    protocol: str = "auto",
+    loss_cfg=None,
 ):
     """Original-resolution evaluation (reference utils/training.py:67-121).
 
-    Fixed-size device forward → host inverse geometry per image →
-    per-image loss + float64 confusion against the untouched GT.
+    Two implementations of the same protocol:
+      * 'device' — inverse geometry, argmax, masked loss and confusion all
+        on device with static canvas shapes (train/fast_eval.py); only a
+        (C, C) matrix + (B,) losses cross the link per batch. Needs
+        `loss_cfg` (a frozen loss dataclass) for the val loss.
+      * 'host' — device forward, float64 host inverse + loss + confusion
+        per image. The exactness reference; slow (per-image score
+        transfer).
+    'auto' picks 'device' when a `loss_cfg` is given (or no loss is
+    wanted), else 'host'. Tests pin the two protocols to each other.
     """
     assert val_data.orig_labels is not None, (
         "materialize val data with keep_orig_labels=True"
     )
+    if protocol == "auto":
+        protocol = "device" if (loss_cfg is not None or host_loss_fn is None) \
+            else "host"
+    if agg is None:
+        agg = MetricsHistory(num_classes, ignore_index=eval_ignore_index)
+    if protocol == "device":
+        return _evaluate_device(
+            state, val_data, loss_cfg=loss_cfg, num_classes=num_classes,
+            batch_size=batch_size, agg=agg, verbose=verbose,
+        )
     if forward is None:
         # module-level singleton: jit caches per (apply_fn, shapes), so one
         # shared forward avoids recompiling on every evaluate() call
         forward = _default_eval_forward()
-    if agg is None:
-        agg = MetricsHistory(num_classes, ignore_index=eval_ignore_index)
     agg.reset()  # (the reference prompt eval forgot this — SURVEY C26 quirk)
 
     losses = []
@@ -191,6 +277,8 @@ def fit(
     save_weights_only_copy: bool = True,
     augment_fn=None,
     eval_state_fn=None,
+    eval_protocol: str = "auto",
+    eval_loss_cfg=None,
 ) -> FitResult:
     """Train with per-epoch original-resolution validation and
     best-val-mIoU checkpointing (reference utils/training.py:453-618).
@@ -291,6 +379,8 @@ def fit(
             forward=forward,
             agg=agg,
             verbose=verbose,
+            protocol=eval_protocol,
+            loss_cfg=eval_loss_cfg,
         )
 
         history["train_loss"].append(train_loss)

@@ -62,14 +62,14 @@ def trimap_to_classes(trimap: np.ndarray, species: int) -> np.ndarray:
     return out
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--src", required=True)
     p.add_argument("--dst", required=True)
     p.add_argument("--val", type=float, default=0.1)
     p.add_argument("--test", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     img_dir = os.path.join(args.src, "images")
     tri_dir = os.path.join(args.src, "annotations", "trimaps")

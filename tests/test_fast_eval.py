@@ -1,0 +1,152 @@
+"""Device-protocol original-resolution eval vs the float64 host protocol.
+
+The two implementations of the reference eval protocol
+(utils/training.py:67-121) must agree: same confusion-matrix metrics,
+same per-image val loss, on a synthetic variable-size dataset.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_segmentation_tpu.data.dataset import ArrayDataset
+from image_segmentation_tpu.data.loader import materialize
+from image_segmentation_tpu.losses import DiceCELoss, DiceNLLLoss
+from image_segmentation_tpu.losses.host import dice_ce_loss_np
+from image_segmentation_tpu.models import UNet
+from image_segmentation_tpu.train import create_train_state
+from image_segmentation_tpu.train.fast_eval import (
+    FILL,
+    make_masked_loss,
+    pack_label_canvases,
+)
+from image_segmentation_tpu.train.loop import evaluate
+from image_segmentation_tpu.train.state import make_adamw
+
+
+def _synthetic_val(n=9, lo=24, hi=70, seed=0):
+    rng = np.random.default_rng(seed)
+    items = []
+    for i in range(n):
+        h, w = int(rng.integers(lo, hi)), int(rng.integers(lo, hi))
+        img = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+        # structured labels so predictions aren't argmax near-ties
+        lab = np.zeros((h, w), np.int32)
+        lab[h // 3 :, : w // 2] = 1 + (i % 2)
+        lab[: h // 4, w // 2 :] = 3
+        items.append((img, lab))
+    return materialize(ArrayDataset(items), 32, keep_orig_labels=True)
+
+
+def test_pack_label_canvases_layout():
+    labs = [np.ones((5, 9), np.int32), np.zeros((12, 4), np.int32)]
+    c = pack_label_canvases(labs, multiple=8)
+    assert c.shape == (2, 16, 16)
+    assert c.dtype == np.uint8
+    assert (c[0, :5, :9] == 1).all()
+    assert (c[0, 5:, :] == FILL).all() and (c[0, :, 9:] == FILL).all()
+    assert (c[1, :12, :4] == 0).all()
+    assert (c[1, 12:, :] == FILL).all()
+
+
+def test_masked_loss_matches_host_on_full_canvas():
+    """With no padding (valid everywhere) the masked device loss must equal
+    the float64 host mirror."""
+    rng = np.random.default_rng(1)
+    scores = rng.normal(size=(20, 24, 4)).astype(np.float32)
+    labels = rng.integers(0, 4, (20, 24)).astype(np.int32)
+    cfg = DiceCELoss(ignore_index=3, class_weights=(0.2, 1.0, 1.2, 1.5),
+                     smooth_dice=1e-5)
+    dev = float(
+        make_masked_loss(cfg)(
+            jnp.asarray(scores), jnp.asarray(labels),
+            jnp.ones((20, 24), bool),
+        )
+    )
+    host = dice_ce_loss_np(scores, labels, cfg)
+    assert abs(dev - host) < 1e-5
+
+
+def test_masked_loss_ignores_fill_region():
+    """Padding the canvas with garbage scores must not change the loss."""
+    rng = np.random.default_rng(2)
+    scores = rng.normal(size=(16, 16, 4)).astype(np.float32)
+    labels = rng.integers(0, 4, (16, 16)).astype(np.int32)
+    cfg = DiceCELoss(ignore_index=3, smooth_dice=1e-5)
+    loss_fn = make_masked_loss(cfg)
+    base = float(loss_fn(jnp.asarray(scores), jnp.asarray(labels),
+                         jnp.ones((16, 16), bool)))
+    big_scores = np.full((24, 24, 4), 1e6, np.float32)
+    big_scores[:16, :16] = scores
+    big_labels = np.full((24, 24), FILL, np.int32)
+    big_labels[:16, :16] = labels
+    valid = big_labels != FILL
+    padded = float(loss_fn(jnp.asarray(big_scores), jnp.asarray(big_labels),
+                           jnp.asarray(valid)))
+    assert abs(base - padded) < 1e-6
+
+
+def test_masked_loss_dice_nll_dispatch():
+    rng = np.random.default_rng(3)
+    probs = rng.dirichlet(np.ones(4), size=(8, 8)).astype(np.float32)
+    labels = rng.integers(0, 4, (8, 8)).astype(np.int32)
+    cfg = DiceNLLLoss(ignore_index=3, smooth_dice=1e-5)
+    from image_segmentation_tpu.losses.host import dice_nll_loss_np
+
+    dev = float(make_masked_loss(cfg)(jnp.asarray(probs), jnp.asarray(labels),
+                                      jnp.ones((8, 8), bool)))
+    host = dice_nll_loss_np(probs, labels, cfg)
+    assert abs(dev - host) < 1e-5
+
+
+@pytest.fixture(scope="module")
+def tiny_state():
+    model = UNet(num_classes=4, base=8, dtype=jnp.float32)
+    return create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+        make_adamw(1e-3),
+    )
+
+
+def test_device_protocol_matches_host_protocol(tiny_state):
+    val = _synthetic_val()
+    cfg = DiceCELoss(ignore_index=3, smooth_dice=1e-5)
+    host = evaluate(
+        tiny_state, val,
+        host_loss_fn=lambda lg, lb: dice_ce_loss_np(lg, lb, cfg),
+        protocol="host", batch_size=4, verbose=False,
+    )
+    dev = evaluate(
+        tiny_state, val, loss_cfg=cfg, protocol="device",
+        batch_size=4, verbose=False,
+    )
+    # identical protocol, float32-vs-float64 resampling: tolerance covers
+    # occasional argmax flips at near-ties
+    assert abs(host["dice"] - dev["dice"]) < 5e-4
+    assert abs(host["iou"] - dev["iou"]) < 5e-4
+    assert abs(host["acc"] - dev["acc"]) < 5e-4
+    assert abs(host["loss"] - dev["loss"]) < 1e-5
+    np.testing.assert_allclose(
+        host["per_class_iou"], dev["per_class_iou"], atol=5e-4
+    )
+
+
+def test_device_protocol_padded_last_batch(tiny_state):
+    """n not divisible by batch_size: the repeated tail must not count."""
+    val = _synthetic_val(n=7, seed=4)
+    cfg = DiceCELoss(ignore_index=3, smooth_dice=1e-5)
+    a = evaluate(tiny_state, val, loss_cfg=cfg, protocol="device",
+                 batch_size=4, verbose=False)
+    b = evaluate(tiny_state, val, loss_cfg=cfg, protocol="device",
+                 batch_size=7, verbose=False)
+    assert abs(a["iou"] - b["iou"]) < 1e-6
+    assert abs(a["loss"] - b["loss"]) < 1e-6
+
+
+def test_device_protocol_no_loss_cfg(tiny_state):
+    """Metrics-only eval (loss_cfg=None) returns nan loss, real metrics."""
+    val = _synthetic_val(n=4, seed=5)
+    out = evaluate(tiny_state, val, protocol="device", batch_size=4,
+                   verbose=False)
+    assert np.isnan(out["loss"])
+    assert 0.0 <= out["iou"] <= 1.0

@@ -62,3 +62,72 @@ def test_tp_forward_matches_replicated():
     # q_proj kernel really is sharded over 'model'
     k = v_sharded["params"]["encoder"]["block_0"]["attn"]["q_proj"]["kernel"]
     assert not k.sharding.is_fully_replicated
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs >=4 fake devices")
+def test_tp_train_step_matches_replicated():
+    """Full GRADIENT equivalence: one make_train_step on a (data×model)
+    mesh with TP-sharded encoder params must produce the same updated
+    parameters as the unsharded single-device step (GSPMD's inserted
+    collectives change nothing numerically). freeze_encoder=False so real
+    gradients flow through every TP-sharded kernel."""
+    import optax
+
+    from image_segmentation_tpu.losses import DiceCELoss
+    from image_segmentation_tpu.train import create_train_state
+    from image_segmentation_tpu.train.steps import make_train_step
+
+    # patch-8 grid on 32px input → 3 up-blocks (4→8→16→32) with 3 skips,
+    # so the logits land at full label resolution for the loss
+    vit = ClipViTConfig(
+        image_size=32, patch_size=8, hidden_size=64, num_layers=3,
+        num_heads=4, mlp_dim=128,
+    )
+    model = ClipUNet(
+        num_classes=4, vit=vit, skip_indices=(1, 2, 3),
+        decoder_channels=(32, 16, 8, 8), freeze_encoder=False,
+    )
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 1, (4, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 4, (4, 32, 32)), jnp.int32)
+
+    def fresh_state():
+        # SGD: the update is LINEAR in the gradient, so param equality is a
+        # direct gradient-equivalence check (Adam's first step is
+        # ±lr·sign(g), which amplifies float noise on near-zero grads)
+        return create_train_state(
+            model, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+            optax.sgd(0.1),
+        )
+
+    step = make_train_step(DiceCELoss(ignore_index=None))
+
+    ref_state, ref_loss = step(fresh_state(), (x, y))
+    ref_params = jax.tree.map(np.asarray, ref_state.params)
+
+    mesh = get_mesh(jax.devices()[:4], model_parallel=2)
+    state = fresh_state()
+    state = state.replace(
+        params=shard_params_tp(
+            replicate(state.params, mesh), mesh, encoder_prefix="encoder"
+        ),
+        batch_stats=replicate(state.batch_stats, mesh),
+        opt_state=replicate(state.opt_state, mesh),
+    )
+    with mesh:
+        tp_state, tp_loss = step(state, shard_batch((x, y), mesh))
+    assert abs(float(tp_loss) - float(ref_loss)) < 1e-5
+
+    tp_params = jax.tree.map(np.asarray, tp_state.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=5e-5, rtol=1e-4),
+        ref_params, tp_params,
+    )
+    # BN statistics (updated through the sharded forward) must match too
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4
+        ),
+        jax.tree.map(np.asarray, ref_state.batch_stats),
+        jax.tree.map(np.asarray, tp_state.batch_stats),
+    )
