@@ -27,7 +27,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MICRO_BATCH = 2      # unet.ipynb cell 0: batch_size=2
 ACCUM_STEPS = 32     # accumulation = 64 // batch_size (utils/training.py:49-56)

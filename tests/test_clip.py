@@ -37,6 +37,7 @@ def _small_hf_model():
     return CLIPVisionModel(cfg)
 
 
+@pytest.mark.slow
 class TestHFParity:
     def test_matches_hf_vision_model(self):
         torch = pytest.importorskip("torch")

@@ -178,6 +178,7 @@ class TestFusedBlocks:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.slow
 class TestFusedUNet:
     def test_matches_linen_forward(self):
         from image_segmentation_tpu.models import UNet

@@ -4,10 +4,13 @@ import os
 import signal
 
 import numpy as np
+import pytest
 
 from image_segmentation_tpu.data.loader import materialize
 from image_segmentation_tpu.losses import DiceCELoss
 from image_segmentation_tpu.train.loop import fit
+
+pytestmark = pytest.mark.slow
 
 
 def _setup():

@@ -9,6 +9,8 @@ import pytest
 
 from image_segmentation_tpu.run import main
 
+pytestmark = pytest.mark.slow
+
 
 def test_unet_noaug_end_to_end(tmp_path):
     res = main([

@@ -65,6 +65,7 @@ def test_tp_forward_matches_replicated():
 
 
 @pytest.mark.skipif(jax.device_count() < 4, reason="needs >=4 fake devices")
+@pytest.mark.slow
 def test_tp_train_step_matches_replicated():
     """Full GRADIENT equivalence: one make_train_step on a (data×model)
     mesh with TP-sharded encoder params must produce the same updated

@@ -68,6 +68,7 @@ class TestTrainStep:
                 first = float(loss)
         assert float(loss) < first * 0.7
 
+    @pytest.mark.slow
     def test_grad_accum_matches_full_batch_loss(self):
         """accum_steps=2 must step with the mean gradient (not change the
         loss scale); with BN the trajectories differ slightly, so compare
@@ -130,6 +131,7 @@ class TestDataParallel:
         k = state.params["Conv_0"]["kernel"]
         assert k.sharding.is_fully_replicated
 
+    @pytest.mark.slow
     def test_sharded_equals_single_device(self):
         """The same batch must produce the same loss sharded vs unsharded
         (XLA inserts the collectives; math is identical)."""
@@ -151,6 +153,7 @@ class TestDataParallel:
 
 
 class TestFitLoop:
+    @pytest.mark.slow
     def test_fit_end_to_end_with_checkpoint_resume(self, tmp_path):
         train_ds = materialize(synthetic_dataset(n=8), 32)
         val_ds = materialize(
