@@ -22,7 +22,7 @@ the whole encoder can run in bfloat16.
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -94,12 +94,14 @@ class ClipUNet(nn.Module):
     vit: ClipViTConfig = ClipViTConfig()
     dtype: Any = jnp.float32
     use_pallas_attention: bool = False
+    use_pallas_mlp: Optional[bool] = None  # None -> follow attention flag
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         g = self.vit.grid_size
         last, hidden = ClipViT(
-            self.vit, self.dtype, self.use_pallas_attention, name="encoder"
+            self.vit, self.dtype, self.use_pallas_attention,
+            self.use_pallas_mlp, name="encoder"
         )(x)
         bottleneck = tokens_to_grid(last, g)
         skips = [tokens_to_grid(hidden[i], g) for i in sorted(self.skip_indices)]

@@ -23,7 +23,7 @@ Weights convert offline from the HF torch checkpoint
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Tuple
+from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -90,12 +90,61 @@ class MultiHeadAttention(nn.Module):
         return nn.Dense(c.hidden_size, dtype=self.dtype, name="out_proj")(out)
 
 
+class _DenseParams(nn.Module):
+    """Parameter-only stand-in for nn.Dense: same param names ('kernel',
+    'bias'), same initializers, NO compute — so the fused-MLP kernel path
+    produces an identical parameter tree (and identical init values) to
+    the XLA path, keeping checkpoints interchangeable."""
+
+    in_features: int
+    features: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.linear.default_kernel_init,
+            (self.in_features, self.features),
+            self.param_dtype,
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            self.param_dtype,
+        )
+        return k, b
+
+
+class _LayerNormParams(nn.Module):
+    """Parameter-only stand-in for nn.LayerNorm ('scale', 'bias')."""
+
+    features: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        s = self.param(
+            "scale", nn.initializers.ones_init(), (self.features,),
+            self.param_dtype,
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            self.param_dtype,
+        )
+        return s, b
+
+
 class TransformerBlock(nn.Module):
-    """Pre-norm block: x + attn(ln1(x)); x + mlp(ln2(x)); quick-GELU MLP."""
+    """Pre-norm block: x + attn(ln1(x)); x + mlp(ln2(x)); quick-GELU MLP.
+
+    With `use_pallas` the MLP half (ln2→fc1→quick-GELU→fc2→+x) runs as
+    one fused Pallas kernel (ops/pallas/mlp.py) when the dims are
+    lane-aligned; the parameter tree is identical either way."""
 
     cfg: ClipViTConfig
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    use_pallas_mlp: Optional[bool] = None  # None -> follow use_pallas
 
     @nn.compact
     def __call__(self, x):
@@ -106,6 +155,23 @@ class TransformerBlock(nn.Module):
         x = x + MultiHeadAttention(c, self.dtype, self.use_pallas, name="attn")(
             ln("ln1")(x)
         )
+        fuse_mlp = (
+            self.use_pallas if self.use_pallas_mlp is None else self.use_pallas_mlp
+        )
+        if fuse_mlp and c.hidden_size % 128 == 0 and c.mlp_dim % 128 == 0:
+            import jax as _jax
+
+            from image_segmentation_tpu.ops.pallas.mlp import fused_mlp
+
+            lns, lnb = _LayerNormParams(c.hidden_size, name="ln2")()
+            w1, b1 = _DenseParams(c.hidden_size, c.mlp_dim, name="fc1")()
+            w2, b2 = _DenseParams(c.mlp_dim, c.hidden_size, name="fc2")()
+            return fused_mlp(
+                x.astype(self.dtype),
+                lns, lnb, w1.astype(self.dtype), b1,
+                w2.astype(self.dtype), b2,
+                c.layer_norm_eps, _jax.default_backend() == "cpu",
+            )
         h = ln("ln2")(x)
         h = nn.Dense(c.mlp_dim, dtype=self.dtype, name="fc1")(h)
         h = quick_gelu(h)
@@ -124,6 +190,7 @@ class ClipViT(nn.Module):
     cfg: ClipViTConfig = ClipViTConfig()
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    use_pallas_mlp: Optional[bool] = None
 
     @nn.compact
     def __call__(self, pixels) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
@@ -168,7 +235,8 @@ class ClipViT(nn.Module):
         hidden_states = [seq]
         for i in range(c.num_layers):
             seq = TransformerBlock(
-                c, self.dtype, self.use_pallas, name=f"block_{i}"
+                c, self.dtype, self.use_pallas, self.use_pallas_mlp,
+                name=f"block_{i}",
             )(seq)
             hidden_states.append(seq)
         return seq, hidden_states

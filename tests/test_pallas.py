@@ -196,3 +196,104 @@ class TestFusedUNet:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=5e-6
         )
+
+
+class TestFusedMLP:
+    """ln2→fc1→quick-GELU→fc2→+x fused kernel (ops/pallas/mlp.py) pinned
+    to its XLA reference, plus integration parity in TransformerBlock."""
+
+    def _args(self, b=2, s=197, h=128, f=256, dtype=jnp.float32, seed=0):
+        from image_segmentation_tpu.ops.pallas.mlp import fused_mlp  # noqa
+        rng = np.random.default_rng(seed)
+        return (
+            jnp.asarray(rng.normal(size=(b, s, h)) * 0.5, dtype),
+            jnp.asarray(rng.normal(size=(h,)), jnp.float32),
+            jnp.asarray(rng.normal(size=(h,)), jnp.float32),
+            jnp.asarray(rng.normal(size=(h, f)) * 0.05, dtype),
+            jnp.asarray(rng.normal(size=(f,)), jnp.float32),
+            jnp.asarray(rng.normal(size=(f, h)) * 0.05, dtype),
+            jnp.asarray(rng.normal(size=(h,)), jnp.float32),
+        )
+
+    def test_matches_reference(self):
+        from image_segmentation_tpu.ops.pallas.mlp import (
+            _mlp_reference,
+            fused_mlp,
+        )
+        args = self._args()
+        got = fused_mlp(*args, 1e-5, True)
+        want = _mlp_reference(*args, 1e-5)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5
+        )
+
+    def test_token_padding_exact(self):
+        """Token counts that are not tile multiples (197·B) pad and slice
+        without contaminating real rows."""
+        from image_segmentation_tpu.ops.pallas.mlp import (
+            _mlp_reference,
+            fused_mlp,
+        )
+        args = self._args(b=1, s=131)
+        got = fused_mlp(*args, 1e-5, True)
+        want = _mlp_reference(*args, 1e-5)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5
+        )
+
+    def test_gradients_match_reference(self):
+        from image_segmentation_tpu.ops.pallas.mlp import (
+            _mlp_reference,
+            fused_mlp,
+        )
+        x, lns, lnb, w1, b1, w2, b2 = self._args(s=64)
+        f = lambda xx, ww: jnp.sum(
+            fused_mlp(xx, lns, lnb, ww, b1, w2, b2, 1e-5, True) ** 2
+        )
+        g = lambda xx, ww: jnp.sum(
+            _mlp_reference(xx, lns, lnb, ww, b1, w2, b2, 1e-5) ** 2
+        )
+        gx1, gw1 = jax.grad(f, argnums=(0, 1))(x, w1)
+        gx2, gw2 = jax.grad(g, argnums=(0, 1))(x, w1)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), atol=2e-3)
+
+    def test_unaligned_dims_rejected(self):
+        from image_segmentation_tpu.ops.pallas.mlp import fused_mlp
+        args = self._args(h=64, f=256)  # 64 not lane-aligned
+        with pytest.raises(ValueError, match="lane-aligned"):
+            fused_mlp(*args, 1e-5, True)
+
+    def test_transformer_block_param_tree_and_output_parity(self):
+        """use_pallas must not change the ViT parameter tree (names OR
+        init values) and must produce the same function — checkpoints are
+        interchangeable between the two paths."""
+        import jax.tree_util as jtu
+
+        from image_segmentation_tpu.models.clip_vit import (
+            ClipViT,
+            ClipViTConfig,
+        )
+
+        cfg = ClipViTConfig(image_size=32, patch_size=16, hidden_size=128,
+                            num_layers=2, num_heads=4, mlp_dim=256)
+        x = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 1, (2, 32, 32, 3)),
+            jnp.float32,
+        )
+        m_xla = ClipViT(cfg, use_pallas=False)
+        m_pal = ClipViT(cfg, use_pallas=True)
+        v_xla = m_xla.init(jax.random.PRNGKey(0), x)
+        v_pal = m_pal.init(jax.random.PRNGKey(0), x)
+        lx = jtu.tree_leaves_with_path(v_xla)
+        lp = jtu.tree_leaves_with_path(v_pal)
+        assert [jtu.keystr(p) for p, _ in lx] == [jtu.keystr(p) for p, _ in lp]
+        for (p1, a), (_, b) in zip(lx, lp):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=jtu.keystr(p1)
+            )
+        out_x, _ = m_xla.apply(v_xla, x)
+        out_p, _ = m_pal.apply(v_xla, x)
+        np.testing.assert_allclose(
+            np.asarray(out_x), np.asarray(out_p), atol=1e-4
+        )
