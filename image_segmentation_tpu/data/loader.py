@@ -34,6 +34,10 @@ class MaterializedDataset:
     orig_labels: Optional[List[np.ndarray]] = None
     # lazily packed by train.fast_eval for the device-side eval protocol
     label_canvases: Optional[np.ndarray] = None
+    # device-resident copy (inputs, metas, canvases) built once by
+    # train.loop._evaluate_device when the set fits the HBM budget; stale
+    # if images/heatmaps/orig_labels are mutated afterwards
+    device_eval_cache: Optional[tuple] = None
 
     def __len__(self) -> int:
         return self.images.shape[0]

@@ -20,6 +20,15 @@ a (C, C) int32 matrix and (B,) float32 losses — a ~30,000× reduction.
 
 The host path (train/loop.py `evaluate(..., protocol='host')`) remains
 the float64 parity reference; tests pin both protocols to each other.
+
+Because the val set is static across epochs, `_evaluate_device` uploads
+it to HBM once and runs each epoch as ONE jitted dispatch — a lax.scan
+over batch indices with on-device gathers (`get_eval_epoch_fn`). That
+removes the per-batch host→device re-upload of images/canvases that
+dominated over slow device links. Measured (v5e, UNet base=64 bf16,
+T=256, 128 Pet-sized images, benchmarks/eval_bench.py): 137 img/s
+single-dispatch vs 12-22 img/s streaming vs ~10-16 img/s round-1 host
+path.
 """
 from __future__ import annotations
 
@@ -209,5 +218,71 @@ def get_eval_batch_fn(canvas_hw, num_classes: int, loss_cfg=None):
     """Public cached accessor (loss_cfg must be hashable — the frozen loss
     dataclasses are)."""
     return _build_eval_batch_fn(
+        (int(canvas_hw[0]), int(canvas_hw[1])), int(num_classes), loss_cfg
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _build_eval_epoch_fn(canvas_hw: Tuple[int, int], num_classes: int,
+                         loss_cfg):
+    """Whole-epoch evaluator: ONE device dispatch for the full val set.
+
+    The val set is static across epochs, so the caller uploads it to HBM
+    once (loop._evaluate_device gates this on dataset size) and each
+    epoch is a single jitted call — a `lax.scan` over batch indices that
+    gathers each batch on device, runs forward + inverse + loss +
+    confusion, and returns only a (C, C) confusion matrix and (nb, B)
+    losses. Per-epoch host↔device traffic drops from the whole dataset
+    (the round-1 bottleneck over slow links) to the index matrices in and
+    a few KB of results out.
+
+    eval_epoch(state, dev_inputs, dev_metas, dev_canvases, idx, real) ->
+      (conf (C, C) i32, losses (nb, B) f32)
+    with idx/real of shape (nb, B): batch indices into the device arrays
+    and the real-vs-padding mask for the tail batch.
+    """
+    loss_fn = make_masked_loss(loss_cfg) if loss_cfg is not None else None
+
+    @jax.jit
+    def eval_epoch(state, dev_inputs, dev_metas, dev_canvases, idx, real):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def body(conf, per):
+            ii, rr = per
+            inputs = tuple(jnp.take(x, ii, axis=0) for x in dev_inputs)
+            metas = G.ResizeMeta(*(jnp.take(f, ii) for f in dev_metas))
+            labels = jnp.take(dev_canvases, ii, axis=0).astype(jnp.int32)
+            scores = state.apply_fn(variables, *inputs, train=False)
+            scores = scores.astype(jnp.float32)
+            inv = jax.vmap(
+                lambda s, m: _invert_one_to_canvas(s, m, canvas_hw)
+            )(scores, metas)
+            valid = labels != FILL
+            pred = jnp.argmax(inv, axis=-1)
+            count_mask = valid & rr[:, None, None]
+            flat = jnp.where(
+                count_mask,
+                jnp.clip(labels, 0, num_classes - 1) * num_classes + pred,
+                num_classes * num_classes,
+            )
+            conf = conf + jnp.bincount(
+                flat.reshape(-1), length=num_classes * num_classes + 1
+            )[:-1].reshape(num_classes, num_classes)
+            if loss_fn is not None:
+                losses = jax.vmap(loss_fn)(inv, labels, valid)
+            else:
+                losses = jnp.full((inv.shape[0],), jnp.nan, jnp.float32)
+            return conf, losses
+
+        conf0 = jnp.zeros((num_classes, num_classes), jnp.int32)
+        conf, losses = jax.lax.scan(body, conf0, (idx, real))
+        return conf, losses
+
+    return eval_epoch
+
+
+def get_eval_epoch_fn(canvas_hw, num_classes: int, loss_cfg=None):
+    """Public cached accessor for the single-dispatch epoch evaluator."""
+    return _build_eval_epoch_fn(
         (int(canvas_hw[0]), int(canvas_hw[1])), int(num_classes), loss_cfg
     )

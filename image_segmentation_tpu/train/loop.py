@@ -24,6 +24,7 @@ from typing import Any, Callable, Dict, Optional
 
 import flax
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from image_segmentation_tpu.data.loader import (
@@ -90,8 +91,12 @@ def _evaluate_device(
 ):
     """Device-protocol original-resolution eval (see train/fast_eval.py).
 
-    All batches are dispatched back-to-back; only (C, C) confusions and
-    (B,) losses are fetched, after the last dispatch."""
+    When the val set fits the HBM budget (ISTPU_EVAL_DEVICE_CACHE_MB,
+    default 4096) it is uploaded to the device ONCE — it is static across
+    epochs — and every epoch is a single jitted dispatch (a lax.scan over
+    batches); only a (C, C) confusion and the per-image losses come back.
+    Larger sets fall back to per-batch streaming, still fetching only
+    (C, C) + (B,) per batch."""
     from image_segmentation_tpu.train import fast_eval
 
     if val_data.label_canvases is None:
@@ -99,31 +104,66 @@ def _evaluate_device(
             val_data.orig_labels
         )
     canvases = val_data.label_canvases
-    eval_batch = fast_eval.get_eval_batch_fn(
-        canvases.shape[1:], num_classes, loss_cfg
-    )
     agg.reset()
     n = len(val_data)
+    # padded batch-index matrix (nb, B): tail batch repeats its last real
+    # index; `real` masks the repeats out of the counts
+    nb = -(-n // batch_size)
+    idx_mat = np.minimum(
+        np.arange(nb * batch_size).reshape(nb, batch_size), n - 1
+    ).astype(np.int32)
+    real_mat = np.arange(nb * batch_size).reshape(nb, batch_size) < n
+    counts = real_mat.sum(axis=1)
+
+    cache_mb = float(os.environ.get("ISTPU_EVAL_DEVICE_CACHE_MB", "4096"))
+    total_bytes = (
+        val_data.images.nbytes + canvases.nbytes
+        + (val_data.heatmaps.nbytes if val_data.has_heatmaps else 0)
+    )
     results = []
-    for start in range(0, n, batch_size):
-        idx = list(range(start, min(start + batch_size, n)))
-        count = len(idx)
-        while len(idx) < batch_size:
-            idx.append(idx[-1])
-        ii = np.asarray(idx)
-        inputs = (val_data.images[ii],)
-        if val_data.has_heatmaps:
-            inputs = (val_data.images[ii], val_data.heatmaps[ii])
-        metas = G.ResizeMeta(*(np.asarray(f)[ii] for f in val_data.metas))
-        real = np.arange(batch_size) < count
-        conf, losses = eval_batch(
-            state,
-            tuple(jax.numpy.asarray(x) for x in inputs),
-            metas,
-            jax.numpy.asarray(canvases[ii]),
-            jax.numpy.asarray(real),
+    if total_bytes <= cache_mb * 2**20:
+        if val_data.device_eval_cache is None:
+            dev_inputs = (jnp.asarray(val_data.images),)
+            if val_data.has_heatmaps:
+                dev_inputs += (jnp.asarray(val_data.heatmaps),)
+            val_data.device_eval_cache = (
+                dev_inputs,
+                G.ResizeMeta(*(jnp.asarray(np.asarray(f))
+                               for f in val_data.metas)),
+                jnp.asarray(canvases),
+            )
+        dev_inputs, dev_metas, dev_canvases = val_data.device_eval_cache
+        eval_epoch = fast_eval.get_eval_epoch_fn(
+            canvases.shape[1:], num_classes, loss_cfg
         )
-        results.append((conf, losses, count))
+        conf, losses = eval_epoch(
+            state, dev_inputs, dev_metas, dev_canvases,
+            jnp.asarray(idx_mat), jnp.asarray(real_mat),
+        )
+        losses = np.asarray(losses)
+        results = [
+            (np.asarray(conf) if b == 0 else np.zeros_like(np.asarray(conf)),
+             losses[b], int(counts[b]))
+            for b in range(nb)
+        ]
+    else:
+        eval_batch = fast_eval.get_eval_batch_fn(
+            canvases.shape[1:], num_classes, loss_cfg
+        )
+        for b in range(nb):
+            ii = idx_mat[b]
+            inputs = (val_data.images[ii],)
+            if val_data.has_heatmaps:
+                inputs = (val_data.images[ii], val_data.heatmaps[ii])
+            metas = G.ResizeMeta(*(np.asarray(f)[ii] for f in val_data.metas))
+            conf, losses = eval_batch(
+                state,
+                tuple(jax.numpy.asarray(x) for x in inputs),
+                metas,
+                jax.numpy.asarray(canvases[ii]),
+                jax.numpy.asarray(real_mat[b]),
+            )
+            results.append((conf, losses, int(counts[b])))
     losses_all = []
     for conf, losses, count in results:
         agg.accumulate_confusion(np.asarray(conf))
