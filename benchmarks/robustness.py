@@ -138,5 +138,86 @@ def robustness_sweep(
     return results
 
 
+def main(argv=None):
+    """CLI: quick-train a UNet on structured synthetic data, then sweep.
+
+    Produces the report's robustness artifact shape (8 perturbations ×
+    10 severities, mean Dice each) with a model that has actually
+    learned the task, so degradation curves are meaningful:
+    `python benchmarks/robustness.py [--steps N] [--images N]`.
+    """
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=60)
+    p.add_argument("--images", type=int, default=64)
+    p.add_argument("--val-images", type=int, default=32)
+    p.add_argument("--batch", type=int, default=16)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.data.loader import materialize
+    from image_segmentation_tpu.losses import DiceCELoss
+    from image_segmentation_tpu.models import UNet
+    from image_segmentation_tpu.run import _synthetic_items
+    from image_segmentation_tpu.data.labels import target_remap
+    from image_segmentation_tpu.train import create_train_state, make_train_step
+    from image_segmentation_tpu.train.state import make_adamw
+
+    on_accel = jax.devices()[0].platform != "cpu"
+    T = 256 if on_accel else 64
+    base = 32 if on_accel else 8
+    steps = args.steps if on_accel else 4
+    n_tr = args.images if on_accel else 8
+    n_va = args.val_images if on_accel else 4
+
+    class _Items:
+        def __init__(self, items):
+            self.items = items
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            img, label = self.items[i]
+            return img, target_remap(label)
+
+    train = materialize(_Items(_synthetic_items(n_tr, seed=0)), T)
+    val = materialize(_Items(_synthetic_items(n_va, seed=1)), T,
+                      keep_orig_labels=True)
+
+    model = UNet(num_classes=4, base=base,
+                 dtype=jnp.bfloat16 if on_accel else jnp.float32)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.asarray(train.images[:1]),
+        make_adamw(learning_rate=1e-3),
+    )
+    step = make_train_step(DiceCELoss(ignore_index=3))
+    imgs = jnp.asarray(train.images)
+    labs = jnp.asarray(train.labels)
+    rng = np.random.default_rng(0)
+    for s in range(steps):
+        ii = rng.integers(0, n_tr, (args.batch,))
+        state, loss = step(state, (imgs[ii], labs[ii]))
+    print(f"trained {steps} steps, final loss {float(loss):.4f}")
+
+    forward = jax.jit(
+        lambda x: state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False,
+        ).astype(jnp.float32)
+    )
+    results = robustness_sweep(forward, val, num_classes=4)
+    print(json.dumps({
+        "metric": "robustness_mean_dice_by_perturbation",
+        "clean_dice_floor_check": "severity curves should decay from the "
+                                  "clean-trained level",
+        "results": {k: [round(d, 4) for d in v] for k, v in results.items()},
+    }))
+
+
 if __name__ == "__main__":
-    print("robustness_sweep is a library; see docstring for usage")
+    main()

@@ -38,6 +38,9 @@ class MaterializedDataset:
     # train.loop._evaluate_device when the set fits the HBM budget; stale
     # if images/heatmaps/orig_labels are mutated afterwards
     device_eval_cache: Optional[tuple] = None
+    # device-resident (images, [heatmaps,] labels) built once by
+    # train.loop.fit for the single-dispatch-per-epoch train path
+    device_train_cache: Optional[tuple] = None
 
     def __len__(self) -> int:
         return self.images.shape[0]

@@ -378,8 +378,34 @@ def fit(
         state = replicate(state, mesh)
 
     has_aux = train_data.has_heatmaps
-    train_step = make_train_step(loss_fn, accum_steps=accum_steps,
-                                 has_aux_input=has_aux)
+    # Single-chip datasets within the HBM budget train as ONE dispatch
+    # per epoch: data uploaded once, shuffle = an index permutation,
+    # lax.scan over on-device gathered batches with the state donated
+    # (train/steps.py make_train_epoch). Meshed or oversized runs keep
+    # the per-batch dispatch path.
+    cache_mb = float(os.environ.get("ISTPU_TRAIN_DEVICE_CACHE_MB", "4096"))
+    train_bytes = (
+        train_data.images.nbytes + train_data.labels.nbytes
+        + (train_data.heatmaps.nbytes if has_aux else 0)
+    )
+    use_device_epoch = mesh is None and train_bytes <= cache_mb * 2**20
+    if use_device_epoch:
+        from image_segmentation_tpu.train.steps import make_train_epoch
+
+        if train_data.device_train_cache is None:
+            arrays = (train_data.images,) + (
+                (train_data.heatmaps,) if has_aux else ()
+            ) + (train_data.labels,)
+            train_data.device_train_cache = tuple(
+                jnp.asarray(a) for a in arrays
+            )
+        train_epoch = make_train_epoch(
+            loss_fn, accum_steps=accum_steps, has_aux_input=has_aux,
+            augment_fn=augment_fn,
+        )
+    else:
+        train_step = make_train_step(loss_fn, accum_steps=accum_steps,
+                                     has_aux_input=has_aux)
     forward = make_eval_forward()
     rng = np.random.default_rng(seed + start_epoch)
     agg = MetricsHistory(num_classes, ignore_index=eval_ignore_index)
@@ -388,24 +414,37 @@ def fit(
         t0 = time.time()
         if verbose:
             print(f"Epoch {epoch + 1}/{epochs} [{name}]")
-        losses = []
         aug_key = jax.random.PRNGKey(seed * 100003 + epoch)
-        for batch in train_batches(train_data, batch_size, rng):
-            batch = tuple(jax.numpy.asarray(x) for x in batch)
-            if augment_fn is not None and len(batch) == 2:
-                aug_key, k = jax.random.split(aug_key)
-                batch = augment_fn(batch[0], batch[1], k)
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
-            state, loss = train_step(state, batch)
-            losses.append(loss)
-        if not losses:
+        n = len(train_data)
+        nsteps = n // batch_size
+        if nsteps == 0:
             raise ValueError(
                 f"epoch produced zero training batches: dataset size "
                 f"{len(train_data)} < batch_size {batch_size} "
                 "(drop_last requires at least one full batch)"
             )
-        train_loss = float(np.mean([float(l) for l in losses]))
+        if use_device_epoch:
+            # same shuffle contract as data.loader.train_batches:
+            # permutation, drop_last
+            order = rng.permutation(n)[: nsteps * batch_size]
+            idx_mat = order.reshape(nsteps, batch_size).astype(np.int32)
+            state, losses = train_epoch(
+                state, train_data.device_train_cache,
+                jnp.asarray(idx_mat), aug_key,
+            )
+            train_loss = float(np.mean(np.asarray(losses)))
+        else:
+            losses = []
+            for batch in train_batches(train_data, batch_size, rng):
+                batch = tuple(jax.numpy.asarray(x) for x in batch)
+                if augment_fn is not None and len(batch) == 2:
+                    aug_key, k = jax.random.split(aug_key)
+                    batch = augment_fn(batch[0], batch[1], k)
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
+                state, loss = train_step(state, batch)
+                losses.append(loss)
+            train_loss = float(np.mean([float(l) for l in losses]))
         if verbose:
             print(f"  train: loss={train_loss:.4f}")
 

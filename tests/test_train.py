@@ -114,6 +114,77 @@ class TestTrainStep:
         assert not np.allclose(other_before, np.asarray(state.params["Conv_0"]["kernel"]))
 
 
+class TestTrainEpoch:
+    """make_train_epoch (one jitted dispatch per epoch over device-resident
+    data) must run the SAME steps as the per-batch make_train_step path."""
+
+    def test_epoch_scan_matches_per_batch_steps(self):
+        from image_segmentation_tpu.train.steps import make_train_epoch
+
+        rng = np.random.default_rng(0)
+        N, B, S = 8, 4, 32
+        images = jnp.asarray(rng.uniform(0, 1, (N, S, S, 3)), jnp.float32)
+        labels = jnp.asarray(rng.integers(0, 4, (N, S, S)), jnp.int32)
+        model = UNet(num_classes=4, base=8)
+        loss_fn = DiceCELoss(ignore_index=3)
+        # SGD, not Adam: Adam's first-step update is ~lr*sign(grad), which
+        # amplifies reassociation-level float noise on near-zero gradients
+        # into lr-scale parameter deltas; SGD keeps deltas proportional.
+        tx = optax.sgd(1e-2)
+        idx_mat = np.arange(N).reshape(2, B).astype(np.int32)
+
+        sA = create_train_state(model, jax.random.PRNGKey(0), images[:1], tx)
+        step = make_train_step(loss_fn)
+        lossesA = []
+        for row in idx_mat:
+            sA, l = step(sA, (images[row], labels[row]))
+            lossesA.append(float(l))
+
+        sB = create_train_state(model, jax.random.PRNGKey(0), images[:1], tx)
+        epoch = make_train_epoch(loss_fn)
+        sB, lossesB = epoch(sB, (images, labels), jnp.asarray(idx_mat),
+                            jax.random.PRNGKey(0))
+        np.testing.assert_allclose(
+            np.asarray(lossesB), np.asarray(lossesA), atol=1e-5
+        )
+        for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(sA.params),
+            jax.tree_util.tree_leaves_with_path(sB.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5,
+                err_msg=jax.tree_util.keystr(pa),
+            )
+        for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(sA.batch_stats),
+            jax.tree_util.tree_leaves_with_path(sB.batch_stats),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5,
+                err_msg=jax.tree_util.keystr(pa),
+            )
+
+    def test_epoch_scan_with_augment_runs(self):
+        from image_segmentation_tpu.ops.augment import random_augment_batch
+        from image_segmentation_tpu.train.steps import make_train_epoch
+
+        rng = np.random.default_rng(0)
+        N, B, S = 8, 4, 32
+        images = jnp.asarray(rng.uniform(0, 1, (N, S, S, 3)), jnp.float32)
+        labels = jnp.asarray(rng.integers(0, 4, (N, S, S)), jnp.int32)
+        model = UNet(num_classes=4, base=4)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), images[:1], make_adamw(1e-3)
+        )
+        epoch = make_train_epoch(
+            DiceCELoss(ignore_index=3), augment_fn=random_augment_batch
+        )
+        idx = jnp.asarray(np.arange(N).reshape(2, B).astype(np.int32))
+        state, losses = epoch(state, (images, labels), idx,
+                              jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(losses)).all()
+
+
 class TestDataParallel:
     def test_sharded_step_runs_on_8_devices(self):
         assert jax.device_count() >= 8, "conftest must fake 8 CPU devices"
