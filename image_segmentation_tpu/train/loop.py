@@ -388,7 +388,7 @@ def fit(
         train_data.images.nbytes + train_data.labels.nbytes
         + (train_data.heatmaps.nbytes if has_aux else 0)
     )
-    use_device_epoch = mesh is None and train_bytes <= cache_mb * 2**20
+    use_device_epoch = train_bytes <= cache_mb * 2**20
     if use_device_epoch:
         from image_segmentation_tpu.train.steps import make_train_epoch
 
@@ -396,12 +396,32 @@ def fit(
             arrays = (train_data.images,) + (
                 (train_data.heatmaps,) if has_aux else ()
             ) + (train_data.labels,)
-            train_data.device_train_cache = tuple(
-                jnp.asarray(a) for a in arrays
-            )
+            if mesh is None:
+                train_data.device_train_cache = tuple(
+                    jnp.asarray(a) for a in arrays
+                )
+            else:
+                # shard the dataset itself along 'data' (pad N up to a
+                # multiple of the axis size; idx_mat never references the
+                # padding). The shuffle's cross-shard gathers become XLA
+                # collectives over ICI instead of host feeds.
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                ndata = mesh.shape["data"]
+                pad = (-len(train_data)) % ndata
+                s = NamedSharding(mesh, PartitionSpec("data"))
+
+                def _put(a):
+                    if pad:
+                        a = np.concatenate([a, a[:pad]], axis=0)
+                    return jax.device_put(a, s)
+
+                train_data.device_train_cache = tuple(
+                    _put(a) for a in arrays
+                )
         train_epoch = make_train_epoch(
             loss_fn, accum_steps=accum_steps, has_aux_input=has_aux,
-            augment_fn=augment_fn,
+            augment_fn=augment_fn, mesh=mesh,
         )
     else:
         train_step = make_train_step(loss_fn, accum_steps=accum_steps,

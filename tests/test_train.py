@@ -164,6 +164,52 @@ class TestTrainEpoch:
                 err_msg=jax.tree_util.keystr(pa),
             )
 
+    def test_epoch_scan_dp_mesh_matches_single_device(self):
+        """Dataset sharded over the 8-device 'data' axis, shuffled batch
+        gathers riding collectives: same params as the unsharded epoch."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from image_segmentation_tpu.train.steps import make_train_epoch
+
+        rng = np.random.default_rng(0)
+        N, B, S = 16, 8, 32
+        images = rng.uniform(0, 1, (N, S, S, 3)).astype(np.float32)
+        labels = rng.integers(0, 4, (N, S, S)).astype(np.int32)
+        model = UNet(num_classes=4, base=8)
+        loss_fn = DiceCELoss(ignore_index=3)
+        tx = optax.sgd(1e-2)
+        # a genuinely shuffled (cross-shard) index matrix
+        idx_mat = rng.permutation(N).reshape(2, B).astype(np.int32)
+
+        sA = create_train_state(
+            model, jax.random.PRNGKey(0), jnp.asarray(images[:1]), tx
+        )
+        epochA = make_train_epoch(loss_fn)
+        sA, lA = epochA(
+            sA, (jnp.asarray(images), jnp.asarray(labels)),
+            jnp.asarray(idx_mat), jax.random.PRNGKey(0),
+        )
+
+        mesh = get_mesh()
+        sB = create_train_state(
+            model, jax.random.PRNGKey(0), jnp.asarray(images[:1]), tx
+        )
+        sB = replicate(sB, mesh)
+        sharding = NamedSharding(mesh, PartitionSpec("data"))
+        dev = (jax.device_put(images, sharding), jax.device_put(labels, sharding))
+        epochB = make_train_epoch(loss_fn, mesh=mesh)
+        sB, lB = epochB(sB, dev, jnp.asarray(idx_mat), jax.random.PRNGKey(0))
+
+        np.testing.assert_allclose(np.asarray(lB), np.asarray(lA), atol=1e-5)
+        for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(sA.params),
+            jax.tree_util.tree_leaves_with_path(sB.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5,
+                err_msg=jax.tree_util.keystr(pa),
+            )
+
     def test_epoch_scan_with_augment_runs(self):
         from image_segmentation_tpu.ops.augment import random_augment_batch
         from image_segmentation_tpu.train.steps import make_train_epoch
