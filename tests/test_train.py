@@ -316,6 +316,28 @@ class TestFitLoop:
         # history from the restored checkpoint epochs must be preserved
         assert res2.history["train_loss"][0] == res.history["train_loss"][0]
 
+    def test_fit_streaming_fallback_matches_contract(self, tmp_path,
+                                                     monkeypatch):
+        """ISTPU_TRAIN_DEVICE_CACHE_MB=0 forces the per-batch streaming
+        branch (used for over-HBM-budget datasets); it must still train
+        and checkpoint exactly like the device-resident epoch branch."""
+        monkeypatch.setenv("ISTPU_TRAIN_DEVICE_CACHE_MB", "0")
+        train_ds = materialize(synthetic_dataset(n=8), 32)
+        val_ds = materialize(
+            synthetic_dataset(n=4, seed=1), 32, keep_orig_labels=True
+        )
+        loss_fn = DiceCELoss(ignore_index=None)
+        _, state = small_state()
+        res = fit(
+            state, train_ds, val_ds, loss_fn=loss_fn, epochs=2,
+            batch_size=4, save_dir=str(tmp_path), name="stream_unet",
+            eval_loss_cfg=loss_fn, verbose=False,
+        )
+        assert train_ds.device_train_cache is None  # streaming branch ran
+        assert len(res.history["train_loss"]) == 2
+        assert res.history["train_loss"][-1] < res.history["train_loss"][0]
+        assert os.path.isdir(tmp_path / "stream_unet")
+
     def test_eval_protocol_shapes(self):
         """Eval must score at ORIGINAL resolution: plant a distinctive
         pattern and verify metrics see the native-size label."""
