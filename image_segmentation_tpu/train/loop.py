@@ -294,6 +294,37 @@ def evaluate(
     }
 
 
+def _upload_train_arrays(arrays, mesh):
+    """Device-resident upload for the whole-epoch trainer: replicated on
+    a single chip, sharded along 'data' (padded to the axis size) under a
+    mesh. Duplicate entries in `arrays` (e.g. reconstruction's (x, x))
+    share one buffer."""
+    uploaded = {}
+
+    if mesh is None:
+        def _put(a):
+            return jnp.asarray(a)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        ndata = mesh.shape["data"]
+        s = NamedSharding(mesh, PartitionSpec("data"))
+
+        def _put(a):
+            pad = (-a.shape[0]) % ndata
+            if pad:
+                a = np.concatenate([a, a[:pad]], axis=0)
+            return jax.device_put(a, s)
+
+    out = []
+    for a in arrays:
+        key = id(a)
+        if key not in uploaded:
+            uploaded[key] = _put(a)
+        out.append(uploaded[key])
+    return tuple(out)
+
+
 def fit(
     state,
     train_data: MaterializedDataset,
@@ -393,32 +424,16 @@ def fit(
         from image_segmentation_tpu.train.steps import make_train_epoch
 
         if train_data.device_train_cache is None:
+            # under a mesh the dataset is sharded along 'data' (padded to
+            # the axis size; idx_mat never references the padding) — the
+            # shuffle's cross-shard gathers become XLA collectives over
+            # ICI instead of host feeds.
             arrays = (train_data.images,) + (
                 (train_data.heatmaps,) if has_aux else ()
             ) + (train_data.labels,)
-            if mesh is None:
-                train_data.device_train_cache = tuple(
-                    jnp.asarray(a) for a in arrays
-                )
-            else:
-                # shard the dataset itself along 'data' (pad N up to a
-                # multiple of the axis size; idx_mat never references the
-                # padding). The shuffle's cross-shard gathers become XLA
-                # collectives over ICI instead of host feeds.
-                from jax.sharding import NamedSharding, PartitionSpec
-
-                ndata = mesh.shape["data"]
-                pad = (-len(train_data)) % ndata
-                s = NamedSharding(mesh, PartitionSpec("data"))
-
-                def _put(a):
-                    if pad:
-                        a = np.concatenate([a, a[:pad]], axis=0)
-                    return jax.device_put(a, s)
-
-                train_data.device_train_cache = tuple(
-                    _put(a) for a in arrays
-                )
+            train_data.device_train_cache = _upload_train_arrays(
+                arrays, mesh
+            )
         train_epoch = make_train_epoch(
             loss_fn, accum_steps=accum_steps, has_aux_input=has_aux,
             augment_fn=augment_fn, mesh=mesh,
@@ -584,7 +599,20 @@ def fit_reconstruction(
             if k in meta.get("history", {}):
                 history[k] = list(meta["history"][k])
 
-    train_step = make_train_step(mse, accum_steps=accum_steps)
+    cache_mb = float(os.environ.get("ISTPU_TRAIN_DEVICE_CACHE_MB", "4096"))
+    use_device_epoch = train_data.images.nbytes <= cache_mb * 2**20
+    if use_device_epoch:
+        from image_segmentation_tpu.train.steps import make_train_epoch
+
+        if train_data.device_train_cache is None:
+            # (x, x): reconstruct the input — one shared device buffer
+            train_data.device_train_cache = _upload_train_arrays(
+                (train_data.images, train_data.images), mesh
+            )
+        train_epoch = make_train_epoch(mse, accum_steps=accum_steps,
+                                       mesh=mesh)
+    else:
+        train_step = make_train_step(mse, accum_steps=accum_steps)
     forward = make_eval_forward()
     rng = np.random.default_rng(seed + start_epoch)
 
@@ -592,15 +620,26 @@ def fit_reconstruction(
         t0 = time.time()
         if verbose:
             print(f"Epoch {epoch + 1}/{epochs} [{name}]")
-        losses = []
-        for images, _ in train_batches(train_data, batch_size, rng):
-            x = jax.numpy.asarray(images)
-            batch = (x, x)  # reconstruct the input
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
-            state, loss = train_step(state, batch)
-            losses.append(loss)
-        train_loss = float(np.mean([float(l) for l in losses]))
+        if use_device_epoch:
+            n = len(train_data)
+            nsteps = max(1, n // batch_size)
+            order = rng.permutation(n)[: nsteps * batch_size]
+            idx_mat = order.reshape(nsteps, -1).astype(np.int32)
+            state, losses = train_epoch(
+                state, train_data.device_train_cache,
+                jnp.asarray(idx_mat), jax.random.PRNGKey(seed + epoch),
+            )
+            train_loss = float(np.mean(np.asarray(losses)))
+        else:
+            losses = []
+            for images, _ in train_batches(train_data, batch_size, rng):
+                x = jax.numpy.asarray(images)
+                batch = (x, x)  # reconstruct the input
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
+                state, loss = train_step(state, batch)
+                losses.append(loss)
+            train_loss = float(np.mean([float(l) for l in losses]))
         if verbose:
             print(f"  train: mse={train_loss:.6f}")
         val_loss = evaluate_reconstruction(
