@@ -28,8 +28,10 @@ import numpy as np
 
 
 def timed(fn, sync, steps=10):
-    fn()  # compile
-    sync()
+    # sync the WARMUP result too: sync() with no value is a no-op, and an
+    # in-flight warmup execution would otherwise bleed into the timed
+    # window (matters for the microsecond-scale 'loss'/'opt' components)
+    sync(fn())  # compile + hard sync
     t0 = time.perf_counter()
     for _ in range(steps):
         out = fn()

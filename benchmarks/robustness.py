@@ -159,11 +159,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from image_segmentation_tpu.data.loader import materialize
     from image_segmentation_tpu.losses import DiceCELoss
     from image_segmentation_tpu.models import UNet
-    from image_segmentation_tpu.run import _synthetic_items
-    from image_segmentation_tpu.data.labels import target_remap
+    from image_segmentation_tpu.run import synthetic_materialized
     from image_segmentation_tpu.train import create_train_state, make_train_step
     from image_segmentation_tpu.train.state import make_adamw
 
@@ -174,20 +172,8 @@ def main(argv=None):
     n_tr = args.images if on_accel else 8
     n_va = args.val_images if on_accel else 4
 
-    class _Items:
-        def __init__(self, items):
-            self.items = items
-
-        def __len__(self):
-            return len(self.items)
-
-        def __getitem__(self, i):
-            img, label = self.items[i]
-            return img, target_remap(label)
-
-    train = materialize(_Items(_synthetic_items(n_tr, seed=0)), T)
-    val = materialize(_Items(_synthetic_items(n_va, seed=1)), T,
-                      keep_orig_labels=True)
+    train = synthetic_materialized(n_tr, T, seed=0)
+    val = synthetic_materialized(n_va, T, seed=1, keep_orig_labels=True)
 
     model = UNet(num_classes=4, base=base,
                  dtype=jnp.bfloat16 if on_accel else jnp.float32)

@@ -86,16 +86,8 @@ def main():
     results = {}
     for variant in args.variants.split(","):
         if variant == "bf16stats":
-            import flax.linen as nn
-            from image_segmentation_tpu.models import layers as L
-            orig = nn.BatchNorm
-
-            class BF16StatsBN(nn.BatchNorm):
-                def __call__(self, x, *a, **k):
-                    return super().__call__(x, *a, **k)
-
             # flax computes stats in f32 via dtype promotion; force bf16
-            # by telling BatchNorm the promoted dtype IS bf16.
+            # by patching _compute_stats below.
             model = UNet(num_classes=4, base=base_ch, dtype=dt)
             # monkeypatch: run stats in bf16 by wrapping _compute_stats
             from flax.linen import normalization as fnorm

@@ -38,8 +38,10 @@ class MaterializedDataset:
     # train.loop._evaluate_device when the set fits the HBM budget; stale
     # if images/heatmaps/orig_labels are mutated afterwards
     device_eval_cache: Optional[tuple] = None
-    # device-resident (images, [heatmaps,] labels) built once by
-    # train.loop.fit for the single-dispatch-per-epoch train path
+    # device-resident (contract_key, arrays) built once by train.loop's
+    # fit / fit_reconstruction for the single-dispatch-per-epoch train
+    # path; the key tags payload kind + mesh layout so the two trainers
+    # never reuse each other's upload
     device_train_cache: Optional[tuple] = None
 
     def __len__(self) -> int:

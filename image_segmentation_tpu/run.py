@@ -37,6 +37,22 @@ def _synthetic_items(n: int, seed: int = 0):
     return items
 
 
+def synthetic_materialized(n: int, target_size: int, seed: int = 0,
+                           keep_orig_labels: bool = False):
+    """Synthetic items, boundary-remapped and materialised — the shared
+    helper for benchmarks (bench.py --fit, benchmarks/robustness.py) and
+    smoke drivers."""
+    from image_segmentation_tpu.data.dataset import ArrayDataset
+    from image_segmentation_tpu.data.labels import target_remap
+    from image_segmentation_tpu.data.loader import materialize
+
+    items = [
+        (img, target_remap(lab)) for img, lab in _synthetic_items(n, seed)
+    ]
+    return materialize(ArrayDataset(items), target_size,
+                       keep_orig_labels=keep_orig_labels)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)

@@ -106,8 +106,15 @@ def _evaluate_device(
     canvases = val_data.label_canvases
     agg.reset()
     n = len(val_data)
-    # padded batch-index matrix (nb, B): tail batch repeats its last real
-    # index; `real` masks the repeats out of the counts
+    # Padded batch-index matrix (nb, B): tail batch repeats its last real
+    # index; `real` masks the repeats out of the counts.
+    # Auto-shrink the eval batch when the canvases are huge: the jitted
+    # evaluator materialises a (B, Hc, Wc, C+1) float32 inverse per batch,
+    # and one outlier-large validation image sets Hc x Wc for everyone.
+    hc, wc = canvases.shape[1:]
+    batch_bytes = lambda b: b * hc * wc * (num_classes + 1) * 4
+    while batch_size > 1 and batch_bytes(batch_size) > 2**31:
+        batch_size //= 2
     nb = -(-n // batch_size)
     idx_mat = np.minimum(
         np.arange(nb * batch_size).reshape(nb, batch_size), n - 1
@@ -222,6 +229,13 @@ def evaluate(
     if agg is None:
         agg = MetricsHistory(num_classes, ignore_index=eval_ignore_index)
     if protocol == "device":
+        if loss_cfg is None and host_loss_fn is not None:
+            raise ValueError(
+                "protocol='device' computes the val loss from `loss_cfg` (a "
+                "frozen loss dataclass, e.g. DiceCELoss(...)); the supplied "
+                "host_loss_fn callable is only usable by protocol='host'. "
+                "Pass loss_cfg=, or protocol='host'."
+            )
         return _evaluate_device(
             state, val_data, loss_cfg=loss_cfg, num_classes=num_classes,
             batch_size=batch_size, agg=agg, verbose=verbose,
@@ -294,11 +308,25 @@ def evaluate(
     }
 
 
+def _get_device_train_cache(train_data, kind, arrays, mesh):
+    """Device-resident upload for the whole-epoch trainer, memoised on
+    the dataset. `kind` tags the payload contract ('seg' images+labels,
+    'aux' images+heatmaps+labels, 'recon' (x, x)) plus the mesh layout —
+    a dataset pre-trained with fit_reconstruction and then segmented with
+    fit() must NOT silently reuse the reconstruction cache."""
+    key = (kind, None if mesh is None else tuple(sorted(mesh.shape.items())))
+    cached = train_data.device_train_cache
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    dev = _upload_train_arrays(arrays, mesh)
+    train_data.device_train_cache = (key, dev)
+    return dev
+
+
 def _upload_train_arrays(arrays, mesh):
-    """Device-resident upload for the whole-epoch trainer: replicated on
-    a single chip, sharded along 'data' (padded to the axis size) under a
-    mesh. Duplicate entries in `arrays` (e.g. reconstruction's (x, x))
-    share one buffer."""
+    """Replicated on a single chip; sharded along 'data' (padded to the
+    axis size) under a mesh. Duplicate entries in `arrays` (e.g.
+    reconstruction's (x, x)) share one buffer."""
     uploaded = {}
 
     if mesh is None:
@@ -423,17 +451,16 @@ def fit(
     if use_device_epoch:
         from image_segmentation_tpu.train.steps import make_train_epoch
 
-        if train_data.device_train_cache is None:
-            # under a mesh the dataset is sharded along 'data' (padded to
-            # the axis size; idx_mat never references the padding) — the
-            # shuffle's cross-shard gathers become XLA collectives over
-            # ICI instead of host feeds.
-            arrays = (train_data.images,) + (
-                (train_data.heatmaps,) if has_aux else ()
-            ) + (train_data.labels,)
-            train_data.device_train_cache = _upload_train_arrays(
-                arrays, mesh
-            )
+        # under a mesh the dataset is sharded along 'data' (padded to
+        # the axis size; idx_mat never references the padding) — the
+        # shuffle's cross-shard gathers become XLA collectives over
+        # ICI instead of host feeds.
+        arrays = (train_data.images,) + (
+            (train_data.heatmaps,) if has_aux else ()
+        ) + (train_data.labels,)
+        dev_train = _get_device_train_cache(
+            train_data, "aux" if has_aux else "seg", arrays, mesh
+        )
         train_epoch = make_train_epoch(
             loss_fn, accum_steps=accum_steps, has_aux_input=has_aux,
             augment_fn=augment_fn, mesh=mesh,
@@ -464,8 +491,7 @@ def fit(
             order = rng.permutation(n)[: nsteps * batch_size]
             idx_mat = order.reshape(nsteps, batch_size).astype(np.int32)
             state, losses = train_epoch(
-                state, train_data.device_train_cache,
-                jnp.asarray(idx_mat), aug_key,
+                state, dev_train, jnp.asarray(idx_mat), aug_key,
             )
             train_loss = float(np.mean(np.asarray(losses)))
         else:
@@ -604,11 +630,11 @@ def fit_reconstruction(
     if use_device_epoch:
         from image_segmentation_tpu.train.steps import make_train_epoch
 
-        if train_data.device_train_cache is None:
-            # (x, x): reconstruct the input — one shared device buffer
-            train_data.device_train_cache = _upload_train_arrays(
-                (train_data.images, train_data.images), mesh
-            )
+        # (x, x): reconstruct the input — one shared device buffer
+        dev_train = _get_device_train_cache(
+            train_data, "recon",
+            (train_data.images, train_data.images), mesh,
+        )
         train_epoch = make_train_epoch(mse, accum_steps=accum_steps,
                                        mesh=mesh)
     else:
@@ -626,7 +652,7 @@ def fit_reconstruction(
             order = rng.permutation(n)[: nsteps * batch_size]
             idx_mat = order.reshape(nsteps, -1).astype(np.int32)
             state, losses = train_epoch(
-                state, train_data.device_train_cache,
+                state, dev_train,
                 jnp.asarray(idx_mat), jax.random.PRNGKey(seed + epoch),
             )
             train_loss = float(np.mean(np.asarray(losses)))
