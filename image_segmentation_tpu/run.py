@@ -75,6 +75,11 @@ def main(argv=None):
     p.add_argument("--smoke-vit", action="store_true",
                    help="tiny ViT matched to --target-size (smoke tests "
                         "of the clip/prompt wiring without the 86M encoder)")
+    p.add_argument("--ckpt-every", type=int, default=1,
+                   help="'_last' preemption-checkpoint cadence in epochs "
+                        "(best-metric epochs always checkpoint); raise "
+                        "when the state is large relative to the device "
+                        "link so saves don't pace training")
     p.add_argument("--eval-protocol", default="device",
                    choices=["device", "host"],
                    help="original-resolution eval implementation: 'device' "
@@ -406,6 +411,7 @@ def main(argv=None):
             eval_state_fn=eval_state_fn,
             eval_protocol=args.eval_protocol,
             eval_loss_cfg=val_loss_fn,
+            checkpoint_every=args.ckpt_every,
         )
     print(f"[run] done: best {result.best}")
     return result

@@ -378,9 +378,15 @@ def fit(
     eval_state_fn=None,
     eval_protocol: str = "auto",
     eval_loss_cfg=None,
+    checkpoint_every: int = 1,
 ) -> FitResult:
     """Train with per-epoch original-resolution validation and
     best-val-mIoU checkpointing (reference utils/training.py:453-618).
+
+    `checkpoint_every` sets the '_last' preemption-checkpoint cadence in
+    epochs (best-metric epochs always checkpoint); raise it when the
+    state is large relative to the device link so saves don't pace
+    training.
 
     `augment_fn(images, labels, key) -> (images, labels)` applies
     on-device online augmentation per batch (ops.augment).
@@ -532,22 +538,40 @@ def fit(
         history["epoch_time_s"].append(time.time() - t0)
         _save_history(save_dir, name, history)
 
-        if val["iou"] > best["miou"]:
+        # Saves are ASYNC and COALESCED: one device snapshot + one
+        # device→host fetch per saving epoch writes the best checkpoint,
+        # its weights-only copy, and the preemption '_last' copy together
+        # (the fetch is the expensive part — on a slow device link it can
+        # exceed the epoch's compute many times over). The '_last'
+        # cadence is `checkpoint_every`; best-metric epochs always save.
+        # wait_for_saves() below makes fit() return only after everything
+        # is durably on disk.
+        improved = val["iou"] > best["miou"]
+        if improved:
             best = {"dice": val["dice"], "miou": val["iou"], "loss": val["loss"]}
-            ckpt.save_checkpoint(
+        last_due = (
+            (epoch + 1) % max(1, checkpoint_every) == 0
+            or epoch == epochs - 1
+            or stop_requested["flag"]
+        )
+        if improved:
+            ckpt.save_checkpoint_async(
                 ckpt_path, state, epoch=epoch, best=best, history=history,
                 notes=notes,
+                params_only_path=weights_path if save_weights_only_copy
+                else None,
+                extra_paths=(last_path,),
+                slot="best",  # only ever replaced by a strictly better one
             )
-            if save_weights_only_copy:
-                ckpt.save_params_only(weights_path, state.params)
             if verbose:
                 print(f"  saved checkpoint (new best miou {val['iou']:.4f})")
-
-        # per-epoch 'last' checkpoint: preemption/crash recovery point
-        ckpt.save_checkpoint(
-            last_path, state, epoch=epoch, best=best, history=history,
-            notes=notes,
-        )
+        elif last_due:
+            # '_last' checkpoint: preemption/crash recovery point; a
+            # superseded pending save is dropped (newer state replaces it)
+            ckpt.save_checkpoint_async(
+                last_path, state, epoch=epoch, best=best, history=history,
+                notes=notes, slot="last",
+            )
         if stop_requested["flag"]:
             if verbose:
                 print(f"[fit] stopping after epoch {epoch + 1} on request")
@@ -555,6 +579,7 @@ def fit(
 
     for sig, h in prev_handlers.items():
         signal.signal(sig, h)
+    ckpt.wait_for_saves()
     return FitResult(state=state, history=history, best=best)
 
 
@@ -678,10 +703,11 @@ def fit_reconstruction(
         _save_history(save_dir, name, history)
         if val_loss < best["loss"]:
             best = {"loss": val_loss}
-            ckpt.save_checkpoint(
+            ckpt.save_checkpoint_async(
                 ckpt_path, state, epoch=epoch, best=best, history=history
             )
             if verbose:
                 print(f"  saved checkpoint (new best val mse {val_loss:.6f})")
 
+    ckpt.wait_for_saves()
     return FitResult(state=state, history=history, best=best)
