@@ -353,6 +353,55 @@ class TestFitLoop:
         )
 
 
+class TestAsyncSaveQueue:
+    """Write-behind save machinery (train/checkpoint.py): latest-wins
+    slots, cross-slot ordering, error surfacing, and flush semantics."""
+
+    def test_latest_wins_and_ordering(self):
+        import threading
+        import time as _time
+
+        ran = []
+        gate = threading.Event()
+
+        def blocker():
+            gate.wait(5)
+            ran.append("blocker")
+
+        mk = lambda tag: (lambda: ran.append(tag))
+        ckpt._submit_save(blocker, slot="best")
+        # while the worker is blocked, queue into both slots; 'last' is
+        # superseded twice — only the newest must run, after 'best2'
+        ckpt._submit_save(mk("last1"), slot="last")
+        ckpt._submit_save(mk("best2"), slot="best")
+        ckpt._submit_save(mk("last2"), slot="last")
+        ckpt._submit_save(mk("last3"), slot="last")
+        gate.set()
+        ckpt.wait_for_saves()
+        assert ran == ["blocker", "best2", "last3"], ran
+
+    def test_error_surfaces_at_wait(self):
+        def boom():
+            raise RuntimeError("save failed")
+
+        ckpt._submit_save(boom, slot="last")
+        with pytest.raises(RuntimeError, match="save failed"):
+            ckpt.wait_for_saves()
+        # the error is consumed; subsequent waits are clean
+        ckpt.wait_for_saves()
+
+    def test_wait_drains_resubmissions(self):
+        ran = []
+
+        def first():
+            ran.append("a")
+            ckpt._submit_save(lambda: ran.append("b"), slot="x")
+
+        ckpt._submit_save(first, slot="x")
+        ckpt.wait_for_saves()
+        assert ran == ["a", "b"]
+
+
 class TestCheckpointSurgery:
     def test_load_subtree_encoder_transfer(self, tmp_path):
         from image_segmentation_tpu.models import (
