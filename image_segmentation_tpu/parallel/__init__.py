@@ -3,5 +3,6 @@ from image_segmentation_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
+from image_segmentation_tpu.parallel.sp import shard_batch_spatial
 
-__all__ = ["get_mesh", "shard_batch", "replicate"]
+__all__ = ["get_mesh", "shard_batch", "replicate", "shard_batch_spatial"]
