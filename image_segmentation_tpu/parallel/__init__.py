@@ -3,6 +3,21 @@ from image_segmentation_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
+from image_segmentation_tpu.parallel.pp import (
+    pipeline_blocks,
+    shard_stacked_params,
+    stack_block_params,
+    unstack_block_params,
+)
 from image_segmentation_tpu.parallel.sp import shard_batch_spatial
 
-__all__ = ["get_mesh", "shard_batch", "replicate", "shard_batch_spatial"]
+__all__ = [
+    "get_mesh",
+    "shard_batch",
+    "replicate",
+    "shard_batch_spatial",
+    "pipeline_blocks",
+    "stack_block_params",
+    "unstack_block_params",
+    "shard_stacked_params",
+]
