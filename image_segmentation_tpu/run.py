@@ -75,6 +75,11 @@ def main(argv=None):
     p.add_argument("--smoke-vit", action="store_true",
                    help="tiny ViT matched to --target-size (smoke tests "
                         "of the clip/prompt wiring without the 86M encoder)")
+    p.add_argument("--max-devices", type=int, default=0,
+                   help="cap the data-parallel device count (0 = all). "
+                        "Use 1 to force single-device, e.g. on fake-CPU "
+                        "meshes where XLA's in-process all-reduce hits "
+                        "its 40 s rendezvous deadline on large models")
     p.add_argument("--ckpt-every", type=int, default=1,
                    help="'_last' preemption-checkpoint cadence in epochs "
                         "(best-metric epochs always checkpoint); raise "
@@ -378,10 +383,13 @@ def main(argv=None):
         print(f"[run] dataset smaller than batch size; using batch {micro}")
     accum = max(1, min(cfg.accum_steps, len(train_data) // micro))
     step_batch = micro * accum
-    if jax.device_count() > 1:
+    device_cap = args.max_devices or jax.device_count()
+    if min(jax.device_count(), device_cap) > 1:
         # shard over the largest device count that divides the batch
         n_dev = max(
-            k for k in range(1, jax.device_count() + 1) if step_batch % k == 0
+            k
+            for k in range(1, min(jax.device_count(), device_cap) + 1)
+            if step_batch % k == 0
         )
         if n_dev > 1:
             mesh = get_mesh(jax.devices()[:n_dev])

@@ -20,14 +20,23 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="openai/clip-vit-base-patch16")
     p.add_argument("--out", required=True)
     p.add_argument("--local-only", action="store_true", default=True)
-    args = p.parse_args()
-
-    from transformers import CLIPVisionModel
+    p.add_argument("--torch-state-dict", default=None,
+                   help="convert a torch-saved HF vision state dict file "
+                        "instead of from_pretrained (no HF cache needed)")
+    p.add_argument("--from-config", action="store_true",
+                   help="build the model locally from CLIPVisionConfig "
+                        "(random init) — exercises the full conversion "
+                        "pipeline without any downloaded checkpoint")
+    p.add_argument("--config-json", default=None,
+                   help="JSON dict of CLIPVisionConfig overrides for "
+                        "--from-config (e.g. a small ViT matching "
+                        "run.py --smoke-vit geometry)")
+    args = p.parse_args(argv)
 
     import flax
 
@@ -35,10 +44,28 @@ def main():
         convert_hf_vision_state_dict,
     )
 
-    model = CLIPVisionModel.from_pretrained(
-        args.model, local_files_only=args.local_only
-    )
-    params = convert_hf_vision_state_dict(model.state_dict())
+    if args.torch_state_dict:
+        import torch
+
+        state_dict = torch.load(args.torch_state_dict, map_location="cpu",
+                                weights_only=True)
+    elif args.from_config:
+        # ViT-B/16 geometry from local config defaults — no network.
+        import json
+
+        from transformers import CLIPVisionConfig, CLIPVisionModel
+
+        overrides = json.loads(args.config_json) if args.config_json else {}
+        model = CLIPVisionModel(CLIPVisionConfig(patch_size=16, **overrides))
+        state_dict = model.state_dict()
+    else:
+        from transformers import CLIPVisionModel
+
+        model = CLIPVisionModel.from_pretrained(
+            args.model, local_files_only=args.local_only
+        )
+        state_dict = model.state_dict()
+    params = convert_hf_vision_state_dict(state_dict)
     flat = flax.traverse_util.flatten_dict(params, sep="/")
     np.savez(args.out, **{k: np.asarray(v) for k, v in flat.items()})
     print(f"wrote {args.out}: {len(flat)} arrays, "

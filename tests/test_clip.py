@@ -99,6 +99,86 @@ class TestHFParity:
         assert got_shapes == want_shapes
 
 
+@pytest.mark.slow
+class TestConverterScript:
+    """Drive the ACTUAL conversion script (scripts/convert_clip_weights.py)
+    — the exact pipeline a real openai/clip-vit-base-patch16 checkpoint
+    will take once one exists in the environment (no network here, so the
+    HF model is built locally from its config with random init)."""
+
+    def test_full_size_conversion_loads_into_clipvit(self, tmp_path):
+        """Full ViT-B/16 geometry: convert, then load via the package's
+        load_pretrained_clip_params and check the tree matches ClipViT's
+        init param-for-param (names AND shapes) — i.e. the converted file
+        is drop-in for the 224px production encoder."""
+        pytest.importorskip("torch")
+        pytest.importorskip("transformers")
+        import sys
+
+        sys.path.insert(0, ".")
+        import flax
+        import jax
+
+        from image_segmentation_tpu.models.clip_vit import (
+            ClipViT,
+            load_pretrained_clip_params,
+        )
+        from scripts.convert_clip_weights import main as convert_main
+
+        out = str(tmp_path / "clip_vit_b16.npz")
+        convert_main(["--from-config", "--out", out])
+        converted = load_pretrained_clip_params(cache_path=out)
+        total = sum(x.size for x in jax.tree.leaves(converted))
+        assert total > 80e6  # ViT-B/16 vision tower ≈ 86M params
+
+        ref = ClipViT().init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))
+        )["params"]
+        got = {
+            k: v.shape
+            for k, v in flax.traverse_util.flatten_dict(converted, sep="/").items()
+        }
+        want = {
+            k: v.shape
+            for k, v in flax.traverse_util.flatten_dict(ref, sep="/").items()
+        }
+        assert got == want
+
+    def test_small_conversion_trains_through_runner(self, tmp_path):
+        """Same script, smoke-ViT geometry (run.py --smoke-vit: hidden 64,
+        4 layers, heads 4, mlp 128 at 224px/patch16): convert, then train
+        one epoch through run.py --clip-weights on the produced .npz —
+        file → load → param injection → frozen-encoder training, the full
+        consumer path at a size CPU can run."""
+        pytest.importorskip("torch")
+        pytest.importorskip("transformers")
+        import json
+        import os
+        import sys
+
+        sys.path.insert(0, ".")
+        from scripts.convert_clip_weights import main as convert_main
+
+        out = str(tmp_path / "clip_smoke.npz")
+        convert_main([
+            "--from-config", "--out", out,
+            "--config-json", json.dumps({
+                "hidden_size": 64, "num_hidden_layers": 4,
+                "num_attention_heads": 4, "intermediate_size": 128,
+                "image_size": 224,
+            }),
+        ])
+
+        from image_segmentation_tpu.run import main as run_main
+
+        run_main([
+            "--config", "clipunet", "--synthetic", "4", "--epochs", "1",
+            "--batch-size", "2", "--save-dir", str(tmp_path / "runs"),
+            "--smoke-vit", "--clip-weights", out, "--max-devices", "1",
+        ])
+        assert os.path.isdir(tmp_path / "runs" / "clipunet")
+
+
 class TestClipUNet:
     def test_output_shape_and_upsampling_chain(self):
         model = ClipUNet(
