@@ -43,6 +43,14 @@ class ExperimentConfig:
     smooth_dice: float = 1.0
     learning_rate: float = 1e-3
     weight_decay: float = 0.01
+    # the reference plumbs an optional torch scheduler through train_loop
+    # and checkpoints its state but every notebook passes scheduler=None
+    # (reference utils/training.py:54-55, unet.ipynb "scheduler = None");
+    # here the same optionality is an optax schedule: None/"constant", or
+    # "cosine" (linear warmup over warmup_steps, cosine decay to 0 across
+    # the run). Resume restores the step count with the optimizer state.
+    lr_schedule: Optional[str] = None
+    warmup_steps: int = 0
     epochs: int = 100
     batch_size: int = 8
     effective_batch: int = 64  # accumulation = effective // batch
@@ -160,14 +168,40 @@ def build_loss(cfg: ExperimentConfig):
     )
 
 
-def build_optimizer(cfg: ExperimentConfig, trainable_mask=None):
+def build_optimizer(
+    cfg: ExperimentConfig, trainable_mask=None, total_steps: int = 0
+):
     from image_segmentation_tpu.train.state import make_adamw
 
     return make_adamw(
         learning_rate=cfg.learning_rate,
         weight_decay=cfg.weight_decay,
+        schedule=build_lr_schedule(cfg, total_steps),
         trainable_mask=trainable_mask,
     )
+
+
+def build_lr_schedule(cfg: ExperimentConfig, total_steps: int):
+    """optax schedule for cfg.lr_schedule, or None for constant LR.
+    `total_steps` is the decay horizon in OPTIMIZER steps (i.e. after
+    gradient accumulation)."""
+    if cfg.lr_schedule in (None, "constant"):
+        return None
+    import optax
+
+    if cfg.lr_schedule == "cosine":
+        if total_steps <= 0:
+            raise ValueError("cosine schedule needs total_steps > 0")
+        # the cosine leg is (total - warmup) steps and must be non-empty;
+        # short smoke runs can ask for more warmup than the whole run
+        warmup = min(cfg.warmup_steps, max(0, total_steps - 1))
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warmup else cfg.learning_rate,
+            peak_value=cfg.learning_rate,
+            warmup_steps=warmup,
+            decay_steps=total_steps,
+        )
+    raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
 
 
 def override(cfg: ExperimentConfig, **kw) -> ExperimentConfig:

@@ -80,6 +80,13 @@ def main(argv=None):
                         "Use 1 to force single-device, e.g. on fake-CPU "
                         "meshes where XLA's in-process all-reduce hits "
                         "its 40 s rendezvous deadline on large models")
+    p.add_argument("--lr-schedule", default=None,
+                   choices=["constant", "cosine"],
+                   help="LR schedule (default: the config's, usually "
+                        "constant — the reference always ran "
+                        "scheduler=None); cosine = linear warmup over "
+                        "--warmup-steps then cosine decay to 0")
+    p.add_argument("--warmup-steps", type=int, default=None)
     p.add_argument("--ckpt-every", type=int, default=1,
                    help="'_last' preemption-checkpoint cadence in epochs "
                         "(best-metric epochs always checkpoint); raise "
@@ -128,6 +135,10 @@ def main(argv=None):
         overrides["batch_size"] = args.batch_size
     if args.target_size is not None:
         overrides["target_size"] = args.target_size
+    if args.lr_schedule is not None:
+        overrides["lr_schedule"] = args.lr_schedule
+    if args.warmup_steps is not None:
+        overrides["warmup_steps"] = args.warmup_steps
     cfg = C.override(cfg, **overrides)
 
     if args.nan_checks:
@@ -281,7 +292,11 @@ def main(argv=None):
         # stop-gradient'ed, so no mask needed
         pass
     mask = subtree_mask(params, tuple(frozen)) if frozen else None
-    tx = C.build_optimizer(cfg, trainable_mask=mask)
+    # decay horizon in optimizer steps (one per effective batch)
+    total_steps = cfg.epochs * max(
+        1, len(train_data) // (cfg.batch_size * cfg.accum_steps)
+    )
+    tx = C.build_optimizer(cfg, trainable_mask=mask, total_steps=total_steps)
 
     from image_segmentation_tpu.train.state import TrainState
 
@@ -349,7 +364,8 @@ def main(argv=None):
         params = FC.decoder_params_from_clipunet(params)
         model = dec_model
         train_data = _dc.replace(train_data, images=feats)
-        tx = C.build_optimizer(cfg, trainable_mask=None)
+        tx = C.build_optimizer(cfg, trainable_mask=None,
+                               total_steps=total_steps)
         # rebuild the training state around the decoder-only model
         state = TS(
             step=0,

@@ -48,3 +48,28 @@ def test_unknown_config_exits():
 def test_no_data_source_exits():
     with pytest.raises(SystemExit):
         main(["--config", "unet_noaug"])
+
+
+def test_lr_schedule_cosine(tmp_path):
+    """--lr-schedule cosine trains end-to-end, and the built schedule has
+    the promised shape: warmup ramp from 0 to peak, cosine decay to 0."""
+    from image_segmentation_tpu import config as C
+
+    cfg = C.override(
+        C.CONFIGS["unet_noaug"], lr_schedule="cosine", warmup_steps=4,
+        learning_rate=1e-3,
+    )
+    sched = C.build_lr_schedule(cfg, total_steps=20)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(4)) - 1e-3) < 1e-9
+    assert float(sched(20)) < 1e-4
+    # constant stays constant (the reference's scheduler=None reality)
+    assert C.build_lr_schedule(C.CONFIGS["unet_noaug"], 20) is None
+
+    res = main([
+        "--config", "unet_noaug", "--synthetic", "8", "--epochs", "2",
+        "--batch-size", "4", "--target-size", "32",
+        "--save-dir", str(tmp_path), "--lr-schedule", "cosine",
+        "--warmup-steps", "2",
+    ])
+    assert len(res.history["train_loss"]) == 2
