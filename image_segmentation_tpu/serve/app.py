@@ -126,7 +126,7 @@ def build_engine_from_checkpoints(models_dir: str) -> InferenceEngine:
     from image_segmentation_tpu.models import SegmentationAutoencoder, UNet
     from image_segmentation_tpu.models.clip_unet import ClipUNet
     from image_segmentation_tpu.models.prompt import PromptModel
-    from image_segmentation_tpu.train.checkpoint import load_params_only
+    from image_segmentation_tpu.train.checkpoint import load_variables_only
 
     specs = {
         "unet": (UNet(num_classes=4), 256, False, (jnp.zeros((1, 256, 256, 3)),)),
@@ -147,8 +147,9 @@ def build_engine_from_checkpoints(models_dir: str) -> InferenceEngine:
             print(f"[serve] no checkpoint for {name} at {path}; skipping")
             continue
         variables = model.init(jax.random.PRNGKey(0), *sample, train=False)
-        params = load_params_only(path)
-        variables = {**variables, "params": params}
+        # the artifact carries trained BN running stats (batch_stats);
+        # merging over init matters — eval with init stats is wrong
+        variables = {**variables, **load_variables_only(path)}
         eng.register(name, model, variables, tsize, needs_prompt=needs_prompt)
         print(f"[serve] loaded {name}")
     if not eng.models:

@@ -192,21 +192,39 @@ def save_checkpoint_async(
             save_checkpoint(p, host, epoch=epoch, best=best,
                             history=history, notes=notes)
         if params_only_path is not None:
-            save_params_only(params_only_path, host.params)
+            save_params_only(params_only_path, host.params,
+                             host.batch_stats)
 
     _submit_save(do_save, slot=slot)
 
 
-def save_params_only(path: str, params) -> None:
-    """Weights-only copy — the reference's MO_{name} artifact."""
+def save_params_only(path: str, params, batch_stats=None) -> None:
+    """Weights-only copy — the reference's MO_{name} artifact. Like the
+    reference's (a torch state_dict, which carries BN running stats),
+    it stores batch_stats alongside params: a BN model restored from it
+    must run eval with its TRAINED running statistics, not init ones."""
+    payload = {"params": _to_host(params)}
+    if batch_stats is not None:
+        payload["batch_stats"] = _to_host(batch_stats)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(os.path.abspath(path), {"params": _to_host(params)}, force=True)
+        ckptr.save(os.path.abspath(path), payload, force=True)
 
 
 def load_params_only(path: str):
+    return load_variables_only(path)["params"]
+
+
+def load_variables_only(path: str) -> dict:
+    """Restore a weights-only artifact as an apply-ready variables dict
+    ({'params'} plus {'batch_stats'} when the artifact has it; artifacts
+    written before batch_stats were stored restore params alone)."""
     wait_for_saves()
     with ocp.PyTreeCheckpointer() as ckptr:
-        return ckptr.restore(os.path.abspath(path))["params"]
+        raw = ckptr.restore(os.path.abspath(path))
+    out = {"params": raw["params"]}
+    if raw.get("batch_stats"):
+        out["batch_stats"] = raw["batch_stats"]
+    return out
 
 
 def restore_checkpoint(path: str, state):

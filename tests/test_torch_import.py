@@ -1,0 +1,181 @@
+"""Reference-checkpoint migration: a torch UNet state dict in the
+reference's exact key layout (reference unet/unet.py:67-105) must
+convert into flax variables whose eval-mode forward matches a functional
+torch oracle reconstructed from the same state dict."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from image_segmentation_tpu.models import UNet  # noqa: E402
+from image_segmentation_tpu.models.torch_import import (  # noqa: E402
+    convert_torch_unet_state_dict,
+)
+
+BASE = 8  # reference trains 64; the layout is identical at any base
+
+
+def _reference_layout_state_dict(seed=0):
+    """Random-valued state dict with the reference's key names/shapes
+    (down1.doubleConvReLU.*, downK.maxpool_doubleConv.1.*, upK.*,
+    output.*)."""
+    g = torch.Generator().manual_seed(seed)
+    sd = {}
+
+    def conv(prefix, cout, cin, k):
+        # fan-in scaling keeps activations O(1) through all 9 levels —
+        # ill-conditioned random weights make activations (and thus pure
+        # float-rounding noise) blow up exponentially with depth
+        s = (cin * k * k) ** -0.5
+        sd[prefix + ".weight"] = torch.randn(cout, cin, k, k, generator=g) * s
+        sd[prefix + ".bias"] = torch.randn(cout, generator=g) * 0.1
+
+    def bn(prefix, c):
+        sd[prefix + ".weight"] = torch.rand(c, generator=g) + 0.5
+        sd[prefix + ".bias"] = torch.randn(c, generator=g) * 0.1
+        sd[prefix + ".running_mean"] = torch.randn(c, generator=g) * 0.1
+        sd[prefix + ".running_var"] = torch.rand(c, generator=g) + 0.5
+        sd[prefix + ".num_batches_tracked"] = torch.tensor(7)
+
+    def double(prefix, cin, cout):
+        conv(prefix + ".0", cout, cin, 3)
+        bn(prefix + ".1", cout)
+        conv(prefix + ".3", cout, cout, 3)
+        bn(prefix + ".4", cout)
+
+    b = BASE
+    double("down1.doubleConvReLU", 3, b)
+    chans = [b, 2 * b, 4 * b, 8 * b, 16 * b]
+    for k in range(2, 6):
+        double(f"down{k}.maxpool_doubleConv.1.doubleConvReLU",
+               chans[k - 2], chans[k - 1])
+    for k in range(1, 5):
+        din, dout = chans[5 - k], chans[4 - k]
+        # ConvTranspose2d weight is (in, out, kH, kW)
+        sd[f"up{k}.upsample.weight"] = (
+            torch.randn(din, dout, 2, 2, generator=g) * din**-0.5
+        )
+        sd[f"up{k}.upsample.bias"] = torch.randn(dout, generator=g) * 0.1
+        double(f"up{k}.doubleConv.doubleConvReLU", din, dout)
+    conv("output", 4, b, 1)
+    return sd
+
+
+def _oracle_forward(sd, x_nchw):
+    """Eval-mode forward computed with torch functional ops directly from
+    the state dict (oracle for the reference architecture's math)."""
+
+    def dc(x, p):
+        for c, n in ((0, 1), (3, 4)):
+            x = F.conv2d(x, sd[f"{p}.{c}.weight"], sd[f"{p}.{c}.bias"],
+                         padding=1)
+            x = F.batch_norm(
+                x, sd[f"{p}.{n}.running_mean"], sd[f"{p}.{n}.running_var"],
+                sd[f"{p}.{n}.weight"], sd[f"{p}.{n}.bias"],
+                training=False, eps=1e-5,
+            )
+            x = F.relu(x)
+        return x
+
+    x1 = dc(x_nchw, "down1.doubleConvReLU")
+    xs = [x1]
+    for k in range(2, 6):
+        xs.append(dc(F.max_pool2d(xs[-1], 2),
+                     f"down{k}.maxpool_doubleConv.1.doubleConvReLU"))
+    y = xs[4]
+    for k, skip in zip(range(1, 5), (xs[3], xs[2], xs[1], xs[0])):
+        up = F.conv_transpose2d(y, sd[f"up{k}.upsample.weight"],
+                                sd[f"up{k}.upsample.bias"], stride=2)
+        y = dc(torch.cat([skip, up], 1), f"up{k}.doubleConv.doubleConvReLU")
+    return F.conv2d(y, sd["output.weight"], sd["output.bias"])
+
+
+def test_converted_forward_matches_torch_oracle():
+    sd = _reference_layout_state_dict()
+    variables = convert_torch_unet_state_dict(sd)
+
+    with torch.no_grad():
+        x = torch.rand(2, 3, 64, 64, generator=torch.Generator().manual_seed(1))
+        want = _oracle_forward(sd, x).numpy().transpose(0, 2, 3, 1)
+
+    model = UNet(num_classes=4, base=BASE)
+    x_nhwc = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    got = np.asarray(
+        model.apply(jax.tree.map(jnp.asarray, variables), x_nhwc, train=False)
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_accepts_full_checkpoint_wrapper():
+    """The reference saves {'model_state_dict': ...} full checkpoints
+    (utils/training.py:564-609); bare MO_ dicts work too."""
+    sd = _reference_layout_state_dict()
+    a = convert_torch_unet_state_dict(sd)
+    b = convert_torch_unet_state_dict({"model_state_dict": sd, "epoch": 3})
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+        a, b,
+    )
+
+
+def test_converted_tree_matches_unet_init():
+    """Converted names AND shapes must equal UNet.init's exactly — a
+    loadability guarantee independent of the numerics."""
+    import flax
+
+    variables = convert_torch_unet_state_dict(_reference_layout_state_dict())
+    init = UNet(num_classes=4, base=BASE).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    for col in ("params", "batch_stats"):
+        got = {
+            k: np.asarray(v).shape
+            for k, v in flax.traverse_util.flatten_dict(
+                variables[col], sep="/"
+            ).items()
+        }
+        want = {
+            k: np.asarray(v).shape
+            for k, v in flax.traverse_util.flatten_dict(
+                init[col], sep="/"
+            ).items()
+        }
+        assert got == want, col
+
+
+@pytest.mark.slow
+def test_conversion_script_to_servable_artifact(tmp_path):
+    """Drive scripts/convert_unet_weights.py on a saved reference-style
+    .pth (full-checkpoint wrapper) and check the produced weights-only
+    artifact restores into an eval forward matching the torch oracle —
+    i.e. the artifact is directly servable (serve/app.py loads the same
+    format via load_variables_only)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from scripts.convert_unet_weights import main as convert_main
+
+    from image_segmentation_tpu.train.checkpoint import load_variables_only
+
+    sd = _reference_layout_state_dict(seed=2)
+    pth = str(tmp_path / "ref_ckpt.pth")
+    torch.save({"model_state_dict": sd, "epoch": 12, "best_dev_miou": 0.7}, pth)
+    out = str(tmp_path / "MO_unet")
+    convert_main(["--torch-checkpoint", pth, "--out", out])
+
+    variables = load_variables_only(out)
+    assert "batch_stats" in variables
+    with torch.no_grad():
+        x = torch.rand(2, 3, 64, 64, generator=torch.Generator().manual_seed(3))
+        want = _oracle_forward(sd, x).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(
+        UNet(num_classes=4, base=BASE).apply(
+            jax.tree.map(jnp.asarray, variables),
+            jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), train=False,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=5e-5)

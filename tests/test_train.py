@@ -439,3 +439,84 @@ class TestCheckpointSurgery:
         _, state8 = small_state(base=8)
         with pytest.raises((ValueError, KeyError)):
             ckpt.load_subtree(str(tmp_path / "a"), state8.params)
+
+
+class TestWeightsOnlyArtifact:
+    @pytest.mark.slow
+    def test_mo_artifact_carries_trained_batch_stats(self, tmp_path):
+        """The MO_{name} weights-only artifact must store the TRAINED BN
+        running statistics, like the reference's torch state_dict does
+        (utils/training.py:585-589) — a BN model served from it with
+        init stats (mean 0 / var 1) evaluates wrongly. Regression for
+        the serving loader."""
+        from image_segmentation_tpu.train.checkpoint import (
+            load_variables_only,
+            wait_for_saves,
+        )
+
+        train_ds = materialize(synthetic_dataset(n=8), 32)
+        val_ds = materialize(synthetic_dataset(n=4, seed=1), 32,
+                             keep_orig_labels=True)
+        model, state = small_state()
+        res = fit(
+            state, train_ds, val_ds, loss_fn=DiceCELoss(ignore_index=None),
+            epochs=2, batch_size=4, save_dir=str(tmp_path), name="bnstats",
+            verbose=False,
+        )
+        wait_for_saves()
+        restored = load_variables_only(str(tmp_path / "MO_bnstats"))
+        assert "batch_stats" in restored
+        # equals the trained stats of the checkpointed (best) epoch: in
+        # particular NOT the init values (mean 0, var 1)
+        first_mean = np.asarray(
+            restored["batch_stats"]["DoubleConv_0"]["ConvBNRelu_0"]
+            ["BatchNorm_0"]["mean"]
+        )
+        assert np.abs(first_mean).max() > 1e-3, "still init batch stats"
+        # and applying the restored variables reproduces the trained
+        # model's eval forward exactly
+        x = jnp.asarray(train_ds.images[:2])
+        want = model.apply(
+            {"params": res.state.params,
+             "batch_stats": res.state.batch_stats},
+            x, train=False,
+        )
+        # fit checkpoints the BEST epoch which may not be the last; only
+        # shape/structure must match here, numerics pin below via direct
+        # save/load
+        got = model.apply(restored, x, train=False)
+        assert got.shape == want.shape
+
+    def test_params_only_roundtrip_with_stats(self, tmp_path):
+        """Direct save/load: batch_stats round-trip bit-exactly and the
+        params-only reader stays backward compatible."""
+        from image_segmentation_tpu.train.checkpoint import (
+            load_params_only,
+            load_variables_only,
+            save_params_only,
+        )
+
+        model, state = small_state()
+        x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 32, 32, 3)),
+                        jnp.float32)
+        # move the stats off init
+        _, upd = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=True, mutable=["batch_stats"],
+        )
+        path = str(tmp_path / "MO_x")
+        save_params_only(path, state.params, upd["batch_stats"])
+        restored = load_variables_only(path)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            {"params": state.params, "batch_stats": upd["batch_stats"]},
+            restored,
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            state.params, load_params_only(path),
+        )
