@@ -12,6 +12,17 @@ step so each optimization's effect is isolated before it lands:
               channels + depth-to-space (identical operator, relabeled
               weights) — avoids XLA's input-dilation lowering which wastes
               3/4 of the MXU multiplies on zeros
+  remat       every DoubleConv rematerialized (nn.remat): the backward
+              (measured 2.54x forward, bandwidth-bound) re-computes block
+              activations from block inputs instead of reading them from
+              HBM — trades MXU flops for HBM traffic, and frees memory
+              for larger batches
+
+Measured (v5e, 256px B=128 bf16, 10 steps): base 405.9 img/s,
+remat 320.2 (0.79x — the recompute costs more than the saved activation
+reads; B=128 already fits, so the freed memory buys nothing). PARKED,
+like the round-2 variants (fusedloss/bf16stats/dts all ~parity): the
+production step stays the plain XLA program.
 """
 from __future__ import annotations
 
@@ -136,6 +147,27 @@ def main():
                 dtm = measure(step, state, batch, args.steps)
             finally:
                 L.UpConv = orig_up
+        elif variant == "remat":
+            import flax.linen as nn
+            from image_segmentation_tpu.models import layers as L
+            from image_segmentation_tpu.models import unet as U
+
+            orig_dc = L.DoubleConv
+            # static_argnums counts (self, x, train): train must stay a
+            # python bool through the remat trace
+            remat_dc = nn.remat(L.DoubleConv, static_argnums=(2,))
+            L.DoubleConv = remat_dc     # Down/Up resolve from layers.py
+            U.DoubleConv = remat_dc     # UNet's stem binds it directly
+            try:
+                model = UNet(num_classes=4, base=base_ch, dtype=dt)
+                tx = make_adamw(1e-3)
+                state = create_train_state(model, jax.random.PRNGKey(0),
+                                           x[:1], tx)
+                step = make_train_step(DiceCELoss(ignore_index=3))
+                dtm = measure(step, state, batch, args.steps)
+            finally:
+                L.DoubleConv = orig_dc
+                U.DoubleConv = orig_dc
         else:
             loss = (FusedDiceCE() if variant == "fusedloss"
                     else DiceCELoss(ignore_index=3))

@@ -1,13 +1,15 @@
 """Import trained reference checkpoints (torch state dicts) into this
 framework.
 
-Migration path for users of the reference repo: a UNet trained with
+Migration path for users of the reference repo: models trained with
 reference unet/unet.py (state-dict keys `down1.doubleConvReLU.0.weight`,
 `down2.maxpool_doubleConv.1...`, `up1.upsample...`, `output...` —
-layout defined at reference unet/unet.py:67-105) converts into
-models/unet.py's flax variables ({'params', 'batch_stats'}) and produces
-bit-identical eval-mode predictions (tests/test_torch_import.py pins the
-forward against a functional torch oracle).
+layout defined at reference unet/unet.py:67-105) or with either stage of
+reference autoencoder/autoencoder.py (Reconstruction / Segmentation
+autoencoder, auto-detected from the key layout) convert into this
+package's flax variables ({'params', 'batch_stats'}) and produce
+matching eval-mode predictions (tests/test_torch_import.py pins every
+forward against functional torch oracles).
 
 Transforms:
 - Conv2d weight (O, I, kH, kW)         -> flax kernel (kH, kW, I, O)
@@ -71,6 +73,72 @@ def _double_conv(sd, prefix):
         }
         stats[f"ConvBNRelu_{i}"] = {"BatchNorm_0": bn_s}
     return params, stats
+
+
+def _conv_nobias(sd, prefix):
+    return {"kernel": _np(sd[prefix + ".weight"]).transpose(2, 3, 1, 0)}
+
+
+def _encoder_block(sd, prefix):
+    """reference EncoderBlock: conv1/bn1/conv2/bn2, bias-free convs
+    (autoencoder/autoencoder.py:6-33) -> EncoderBlock_i/ConvBNRelu_{0,1}."""
+    params, stats = {}, {}
+    for i, c, n in ((0, "conv1", "bn1"), (1, "conv2", "bn2")):
+        bn_p, bn_s = _bn(sd, f"{prefix}.{n}")
+        params[f"ConvBNRelu_{i}"] = {
+            "Conv_0": _conv_nobias(sd, f"{prefix}.{c}"),
+            "BatchNorm_0": bn_p,
+        }
+        stats[f"ConvBNRelu_{i}"] = {"BatchNorm_0": bn_s}
+    return params, stats
+
+
+def _decoder_block(sd, prefix):
+    """reference DecoderBlock{With,No}Skips: up (ConvTranspose2d) +
+    convs Sequential(Conv, BN, ReLU, Conv, BN, ReLU), bias-free convs
+    (autoencoder/autoencoder.py:57-146)."""
+    params, stats = {
+        "UpConv_0": {"ConvTranspose_0": _conv_transpose(sd, f"{prefix}.up")}
+    }, {}
+    for i, seq_conv, seq_bn in ((0, 0, 1), (1, 3, 4)):
+        bn_p, bn_s = _bn(sd, f"{prefix}.convs.{seq_bn}")
+        params[f"ConvBNRelu_{i}"] = {
+            "Conv_0": _conv_nobias(sd, f"{prefix}.convs.{seq_conv}"),
+            "BatchNorm_0": bn_p,
+        }
+        stats[f"ConvBNRelu_{i}"] = {"BatchNorm_0": bn_s}
+    return params, stats
+
+
+def convert_torch_autoencoder_state_dict(state_dict) -> dict:
+    """Reference torch autoencoder (either stage) -> flax variables.
+
+    Detects the stage from the state dict itself:
+    - SegmentationAutoencoder (autoencoder/autoencoder.py:271-305):
+      keys `encoder.encoder.encoderPartK...` (the SegmentationEncoder
+      wrapper adds a level), `decoder.decoderBlockK...`, `finalConv.*`
+      -> models/autoencoder.py SegmentationAutoencoder.
+    - ReconstructionAutoencoder (:171-200): keys `encoder.encoderPartK...`,
+      `decoder.decoderBlockK...`, `decoderOut.0.*`
+      -> ReconstructionAutoencoder.
+    """
+    sd = state_dict.get("model_state_dict", state_dict)
+    seg = any(k.startswith("encoder.encoder.") for k in sd)
+    enc_prefix = "encoder.encoder" if seg else "encoder"
+    block = "DecoderBlockWithSkips" if seg else "DecoderBlockNoSkips"
+
+    params, stats = {"encoder": {}}, {"encoder": {}}
+    for k in range(1, 4):
+        p, s = _encoder_block(sd, f"{enc_prefix}.encoderPart{k}")
+        params["encoder"][f"EncoderBlock_{k - 1}"] = p
+        stats["encoder"][f"EncoderBlock_{k - 1}"] = s
+    for k in range(1, 4):
+        p, s = _decoder_block(sd, f"decoder.decoderBlock{k}")
+        params[f"{block}_{k - 1}"] = p
+        stats[f"{block}_{k - 1}"] = s
+    head = "finalConv" if seg else "decoderOut.0"
+    params["Conv_0"] = _conv(sd, head)
+    return {"params": params, "batch_stats": stats}
 
 
 def convert_torch_unet_state_dict(state_dict) -> dict:

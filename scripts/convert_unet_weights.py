@@ -25,19 +25,28 @@ def main(argv=None):
                         "MO_ state dict")
     p.add_argument("--out", required=True,
                    help="output checkpoint directory (Orbax weights-only "
-                        "artifact; name it MO_unet for the serving app)")
+                        "artifact; name it MO_unet / MO_autoencoder for "
+                        "the serving app)")
+    p.add_argument("--arch", default="unet",
+                   choices=["unet", "autoencoder"],
+                   help="source architecture: unet (reference "
+                        "unet/unet.py) or autoencoder (either stage of "
+                        "autoencoder/autoencoder.py, auto-detected)")
     args = p.parse_args(argv)
 
     import torch
 
     from image_segmentation_tpu.models.torch_import import (
+        convert_torch_autoencoder_state_dict,
         convert_torch_unet_state_dict,
     )
     from image_segmentation_tpu.train.checkpoint import save_params_only
 
     sd = torch.load(args.torch_checkpoint, map_location="cpu",
                     weights_only=False)
-    variables = convert_torch_unet_state_dict(sd)
+    convert = (convert_torch_unet_state_dict if args.arch == "unet"
+               else convert_torch_autoencoder_state_dict)
+    variables = convert(sd)
     save_params_only(args.out, variables["params"], variables["batch_stats"])
     import jax
 

@@ -179,3 +179,120 @@ def test_conversion_script_to_servable_artifact(tmp_path):
         )
     )
     np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def _ae_state_dict(seg: bool, seed=0):
+    """Reference autoencoder state dict: SegmentationAutoencoder keys
+    (encoder.encoder.encoderPartK / decoder.decoderBlockK / finalConv) or
+    ReconstructionAutoencoder keys (encoder.encoderPartK / decoderOut.0)."""
+    g = torch.Generator().manual_seed(seed)
+    sd = {}
+    b = BASE
+
+    def conv(prefix, cout, cin, k, bias=True):
+        s = (cin * k * k) ** -0.5
+        sd[prefix + ".weight"] = torch.randn(cout, cin, k, k, generator=g) * s
+        if bias:
+            sd[prefix + ".bias"] = torch.randn(cout, generator=g) * 0.1
+
+    def bn(prefix, c):
+        sd[prefix + ".weight"] = torch.rand(c, generator=g) + 0.5
+        sd[prefix + ".bias"] = torch.randn(c, generator=g) * 0.1
+        sd[prefix + ".running_mean"] = torch.randn(c, generator=g) * 0.1
+        sd[prefix + ".running_var"] = torch.rand(c, generator=g) + 0.5
+        sd[prefix + ".num_batches_tracked"] = torch.tensor(5)
+
+    enc = "encoder.encoder" if seg else "encoder"
+    chans = [(3, b), (b, 2 * b), (2 * b, 4 * b)]
+    for k, (cin, cout) in enumerate(chans, 1):
+        conv(f"{enc}.encoderPart{k}.conv1", cout, cin, 3, bias=False)
+        bn(f"{enc}.encoderPart{k}.bn1", cout)
+        conv(f"{enc}.encoderPart{k}.conv2", cout, cout, 3, bias=False)
+        bn(f"{enc}.encoderPart{k}.bn2", cout)
+    # decoder blocks: (din_up, din_skip, dout)
+    blocks = ([(4 * b, 4 * b, 2 * b), (2 * b, 2 * b, b), (b, b, b)] if seg
+              else [(4 * b, 0, 2 * b), (2 * b, 0, b), (b, 0, b)])
+    for k, (din, dskip, dout) in enumerate(blocks, 1):
+        p = f"decoder.decoderBlock{k}"
+        sd[f"{p}.up.weight"] = torch.randn(din, dout, 2, 2, generator=g) * din**-0.5
+        sd[f"{p}.up.bias"] = torch.randn(dout, generator=g) * 0.1
+        cin = dout + dskip
+        conv(f"{p}.convs.0", dout, cin, 3, bias=False)
+        bn(f"{p}.convs.1", dout)
+        conv(f"{p}.convs.3", dout, dout, 3, bias=False)
+        bn(f"{p}.convs.4", dout)
+    if seg:
+        conv("finalConv", 4, b, 1)
+    else:
+        conv("decoderOut.0", 3, b, 3)
+    return sd
+
+
+def _ae_oracle_forward(sd, x, seg: bool):
+    def cbr(x, cp, bp):
+        x = F.conv2d(x, sd[cp + ".weight"], None, padding=1)
+        x = F.batch_norm(x, sd[bp + ".running_mean"], sd[bp + ".running_var"],
+                         sd[bp + ".weight"], sd[bp + ".bias"],
+                         training=False, eps=1e-5)
+        return F.relu(x)
+
+    enc = "encoder.encoder" if seg else "encoder"
+    skips = []
+    h = x
+    for k in range(1, 4):
+        p = f"{enc}.encoderPart{k}"
+        h = cbr(h, p + ".conv1", p + ".bn1")
+        skip = cbr(h, p + ".conv2", p + ".bn2")
+        skips.append(skip)
+        h = F.max_pool2d(skip, 2)
+    y = h  # bottleneck (after pool of part3 -- reference pools every block)
+    for k, skip in zip(range(1, 4), (skips[2], skips[1], skips[0])):
+        p = f"decoder.decoderBlock{k}"
+        y = F.conv_transpose2d(y, sd[p + ".up.weight"], sd[p + ".up.bias"],
+                               stride=2)
+        if seg:
+            y = torch.cat([y, skip], 1)
+        y = cbr(y, p + ".convs.0", p + ".convs.1")
+        y = cbr(y, p + ".convs.3", p + ".convs.4")
+    if seg:
+        return F.conv2d(y, sd["finalConv.weight"], sd["finalConv.bias"])
+    out = F.conv2d(y, sd["decoderOut.0.weight"], sd["decoderOut.0.bias"],
+                   padding=1)
+    return torch.sigmoid(out)
+
+
+@pytest.mark.parametrize("seg", [True, False])
+def test_autoencoder_conversion_matches_oracle(seg):
+    from image_segmentation_tpu.models import (
+        ReconstructionAutoencoder,
+        SegmentationAutoencoder,
+    )
+    from image_segmentation_tpu.models.torch_import import (
+        convert_torch_autoencoder_state_dict,
+    )
+
+    sd = _ae_state_dict(seg)
+    variables = convert_torch_autoencoder_state_dict(
+        {"model_state_dict": sd}
+    )
+    with torch.no_grad():
+        x = torch.rand(2, 3, 32, 32, generator=torch.Generator().manual_seed(4))
+        want = _ae_oracle_forward(sd, x, seg).numpy().transpose(0, 2, 3, 1)
+    model = (SegmentationAutoencoder(num_classes=4, base=BASE) if seg
+             else ReconstructionAutoencoder(base=BASE))
+    got = np.asarray(model.apply(
+        jax.tree.map(jnp.asarray, variables),
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), train=False,
+    ))
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+    # loadability: names and shapes equal the model's own init
+    import flax
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                      train=False)
+    for col in ("params", "batch_stats"):
+        got_s = {k: np.asarray(v).shape for k, v in
+                 flax.traverse_util.flatten_dict(variables[col], sep="/").items()}
+        want_s = {k: np.asarray(v).shape for k, v in
+                  flax.traverse_util.flatten_dict(init[col], sep="/").items()}
+        assert got_s == want_s, col
