@@ -141,6 +141,77 @@ def convert_torch_autoencoder_state_dict(state_dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_torch_clipunet_state_dict(state_dict) -> dict:
+    """Reference torch ClipUNet / ClipUNetNoSkips -> flax variables for
+    models/clip_unet.py (variant auto-detected: the skips decoder has
+    `skip_conv` keys, clip/clipunet.py:85 vs clipunet_noskips.py:66).
+
+    The HF CLIP vision tower inside (`encoder.clip_vit.vision_model...`,
+    clip/clipunet.py:26) converts through the existing
+    convert_hf_vision_state_dict; decoder: init_conv (1x1), per block
+    upsample -> UpConv_0/ConvTranspose_0, skip_conv -> skip_proj (1x1),
+    conv_block.{0,1,3,4} (bias-free) -> ConvBNRelu_{0,1}; output_layer ->
+    head."""
+    from image_segmentation_tpu.models.clip_vit import (
+        convert_hf_vision_state_dict,
+    )
+
+    sd = state_dict.get("model_state_dict", state_dict)
+    enc_sd = {
+        k[len("encoder.clip_vit."):]: v
+        for k, v in sd.items()
+        if k.startswith("encoder.clip_vit.")
+    }
+    params = {"encoder": convert_hf_vision_state_dict(enc_sd)}
+    stats = {}
+
+    params["init_conv"] = _conv(sd, "decoder.init_conv")
+    n_blocks = 1 + max(
+        int(k.split(".")[2])
+        for k in sd
+        if k.startswith("decoder.decoder_blocks.")
+    )
+    for i in range(n_blocks):
+        p = f"decoder.decoder_blocks.{i}"
+        block = {
+            "UpConv_0": {"ConvTranspose_0": _conv_transpose(sd, p + ".upsample")}
+        }
+        if p + ".skip_conv.weight" in sd:
+            block["skip_proj"] = _conv(sd, p + ".skip_conv")
+        bstats = {}
+        for j, seq_conv, seq_bn in ((0, 0, 1), (1, 3, 4)):
+            bn_p, bn_s = _bn(sd, f"{p}.conv_block.{seq_bn}")
+            block[f"ConvBNRelu_{j}"] = {
+                "Conv_0": _conv_nobias(sd, f"{p}.conv_block.{seq_conv}"),
+                "BatchNorm_0": bn_p,
+            }
+            bstats[f"ConvBNRelu_{j}"] = {"BatchNorm_0": bn_s}
+        params[f"dec_{i}"] = block
+        stats[f"dec_{i}"] = bstats
+    params["head"] = _conv(sd, "output_layer")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_torch_prompt_state_dict(state_dict) -> dict:
+    """Reference torch PromptModel -> flax variables for models/prompt.py:
+    `clip.*` is a full ClipUNet, `mask.*` a 4-in/1-out UNet
+    (reference prompt_based/prompt.py:15-16)."""
+    sd = state_dict.get("model_state_dict", state_dict)
+    clip = convert_torch_clipunet_state_dict(
+        {k[len("clip."):]: v for k, v in sd.items() if k.startswith("clip.")}
+    )
+    mask = convert_torch_unet_state_dict(
+        {k[len("mask."):]: v for k, v in sd.items() if k.startswith("mask.")}
+    )
+    return {
+        "params": {"clip": clip["params"], "mask": mask["params"]},
+        "batch_stats": {
+            "clip": clip["batch_stats"],
+            "mask": mask["batch_stats"],
+        },
+    }
+
+
 def convert_torch_unet_state_dict(state_dict) -> dict:
     """Reference torch UNet state dict -> {'params', 'batch_stats'} for
     models/unet.py UNet (any `base`; the reference trains base=64)."""

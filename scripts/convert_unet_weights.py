@@ -28,24 +28,28 @@ def main(argv=None):
                         "artifact; name it MO_unet / MO_autoencoder for "
                         "the serving app)")
     p.add_argument("--arch", default="unet",
-                   choices=["unet", "autoencoder"],
+                   choices=["unet", "autoencoder", "clipunet", "prompt"],
                    help="source architecture: unet (reference "
-                        "unet/unet.py) or autoencoder (either stage of "
-                        "autoencoder/autoencoder.py, auto-detected)")
+                        "unet/unet.py), autoencoder (either stage of "
+                        "autoencoder/autoencoder.py, auto-detected), "
+                        "clipunet (clip/clipunet.py or the noskips "
+                        "variant, auto-detected), prompt "
+                        "(prompt_based/prompt.py)")
     args = p.parse_args(argv)
 
     import torch
 
-    from image_segmentation_tpu.models.torch_import import (
-        convert_torch_autoencoder_state_dict,
-        convert_torch_unet_state_dict,
-    )
+    from image_segmentation_tpu.models import torch_import as TI
     from image_segmentation_tpu.train.checkpoint import save_params_only
 
     sd = torch.load(args.torch_checkpoint, map_location="cpu",
                     weights_only=False)
-    convert = (convert_torch_unet_state_dict if args.arch == "unet"
-               else convert_torch_autoencoder_state_dict)
+    convert = {
+        "unet": TI.convert_torch_unet_state_dict,
+        "autoencoder": TI.convert_torch_autoencoder_state_dict,
+        "clipunet": TI.convert_torch_clipunet_state_dict,
+        "prompt": TI.convert_torch_prompt_state_dict,
+    }[args.arch]
     variables = convert(sd)
     save_params_only(args.out, variables["params"], variables["batch_stats"])
     import jax

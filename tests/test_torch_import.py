@@ -18,7 +18,7 @@ from image_segmentation_tpu.models.torch_import import (  # noqa: E402
 BASE = 8  # reference trains 64; the layout is identical at any base
 
 
-def _reference_layout_state_dict(seed=0):
+def _reference_layout_state_dict(seed=0, din=3, dout=4):
     """Random-valued state dict with the reference's key names/shapes
     (down1.doubleConvReLU.*, downK.maxpool_doubleConv.1.*, upK.*,
     output.*)."""
@@ -47,20 +47,20 @@ def _reference_layout_state_dict(seed=0):
         bn(prefix + ".4", cout)
 
     b = BASE
-    double("down1.doubleConvReLU", 3, b)
+    double("down1.doubleConvReLU", din, b)
     chans = [b, 2 * b, 4 * b, 8 * b, 16 * b]
     for k in range(2, 6):
         double(f"down{k}.maxpool_doubleConv.1.doubleConvReLU",
                chans[k - 2], chans[k - 1])
     for k in range(1, 5):
-        din, dout = chans[5 - k], chans[4 - k]
+        cin, cout = chans[5 - k], chans[4 - k]
         # ConvTranspose2d weight is (in, out, kH, kW)
         sd[f"up{k}.upsample.weight"] = (
-            torch.randn(din, dout, 2, 2, generator=g) * din**-0.5
+            torch.randn(cin, cout, 2, 2, generator=g) * cin**-0.5
         )
-        sd[f"up{k}.upsample.bias"] = torch.randn(dout, generator=g) * 0.1
-        double(f"up{k}.doubleConv.doubleConvReLU", din, dout)
-    conv("output", 4, b, 1)
+        sd[f"up{k}.upsample.bias"] = torch.randn(cout, generator=g) * 0.1
+        double(f"up{k}.doubleConv.doubleConvReLU", cin, cout)
+    conv("output", dout, b, 1)
     return sd
 
 
@@ -296,3 +296,153 @@ def test_autoencoder_conversion_matches_oracle(seg):
         want_s = {k: np.asarray(v).shape for k, v in
                   flax.traverse_util.flatten_dict(init[col], sep="/").items()}
         assert got_s == want_s, col
+
+
+def _clipunet_state_dict(seed=0, num_layers=3,
+                         blocks=((64, 32), (32, 16))):
+    """Reference ClipUNet keys at smoke ViT size: HF vision tower under
+    encoder.clip_vit.* (clip/clipunet.py:26) + decoder/output_layer."""
+    transformers = pytest.importorskip("transformers")
+    torch.manual_seed(seed)
+    cfg = transformers.CLIPVisionConfig(
+        hidden_size=64, num_hidden_layers=num_layers, num_attention_heads=4,
+        intermediate_size=128, image_size=32, patch_size=16,
+    )
+    hf = transformers.CLIPVisionModel(cfg)
+    sd = {f"encoder.clip_vit.{k}": v for k, v in hf.state_dict().items()}
+    g = torch.Generator().manual_seed(seed + 1)
+
+    def conv(prefix, cout, cin, k, bias=True):
+        s = (cin * k * k) ** -0.5
+        sd[prefix + ".weight"] = torch.randn(cout, cin, k, k, generator=g) * s
+        if bias:
+            sd[prefix + ".bias"] = torch.randn(cout, generator=g) * 0.1
+
+    def bn(prefix, c):
+        sd[prefix + ".weight"] = torch.rand(c, generator=g) + 0.5
+        sd[prefix + ".bias"] = torch.randn(c, generator=g) * 0.1
+        sd[prefix + ".running_mean"] = torch.randn(c, generator=g) * 0.1
+        sd[prefix + ".running_var"] = torch.rand(c, generator=g) + 0.5
+
+    # default: decoder_channels (64, 32, 16), skip_indices (1, 2)
+    conv("decoder.init_conv", blocks[0][0], 64, 1)
+    for i, (cin, cout) in enumerate(blocks):
+        p = f"decoder.decoder_blocks.{i}"
+        half = cin // 2
+        sd[f"{p}.upsample.weight"] = (
+            torch.randn(cin, half, 2, 2, generator=g) * cin**-0.5
+        )
+        sd[f"{p}.upsample.bias"] = torch.randn(half, generator=g) * 0.1
+        conv(f"{p}.skip_conv", half, 64, 1)
+        conv(f"{p}.conv_block.0", cout, 2 * half, 3, bias=False)
+        bn(f"{p}.conv_block.1", cout)
+        conv(f"{p}.conv_block.3", cout, cout, 3, bias=False)
+        bn(f"{p}.conv_block.4", cout)
+    conv("output_layer", 4, blocks[-1][1], 1)
+    return sd, hf
+
+
+def _clipunet_oracle(sd, hf, x):
+    """Functional decoder over the real HF vision tower (our ClipViT has
+    separate bit-parity tests vs HF, so this pins the full wiring)."""
+    with torch.no_grad():
+        out = hf(pixel_values=x, output_hidden_states=True)
+
+    def grid(tokens):
+        n = tokens.shape[0]
+        return tokens[:, 1:, :].reshape(n, 2, 2, 64).permute(0, 3, 1, 2)
+
+    y = F.conv2d(grid(out.last_hidden_state), sd["decoder.init_conv.weight"],
+                 sd["decoder.init_conv.bias"])
+    skips = [grid(out.hidden_states[i]) for i in (1, 2)]
+    for i, skip in zip(range(2), reversed(skips)):
+        p = f"decoder.decoder_blocks.{i}"
+        y = F.conv_transpose2d(y, sd[f"{p}.upsample.weight"],
+                               sd[f"{p}.upsample.bias"], stride=2)
+        s = F.conv2d(skip, sd[f"{p}.skip_conv.weight"],
+                     sd[f"{p}.skip_conv.bias"])
+        if s.shape[2:] != y.shape[2:]:
+            s = F.interpolate(s, size=y.shape[2:], mode="bilinear",
+                              align_corners=False)
+        y = torch.cat([y, s], 1)
+        for c, n in ((0, 1), (3, 4)):
+            y = F.conv2d(y, sd[f"{p}.conv_block.{c}.weight"], None, padding=1)
+            y = F.batch_norm(
+                y, sd[f"{p}.conv_block.{n}.running_mean"],
+                sd[f"{p}.conv_block.{n}.running_var"],
+                sd[f"{p}.conv_block.{n}.weight"],
+                sd[f"{p}.conv_block.{n}.bias"], training=False, eps=1e-5,
+            )
+            y = F.relu(y)
+    return F.conv2d(y, sd["output_layer.weight"], sd["output_layer.bias"])
+
+
+@pytest.mark.slow
+def test_clipunet_conversion_matches_oracle():
+    from image_segmentation_tpu.models.clip_unet import ClipUNet
+    from image_segmentation_tpu.models.clip_vit import ClipViTConfig
+    from image_segmentation_tpu.models.torch_import import (
+        convert_torch_clipunet_state_dict,
+    )
+
+    sd, hf = _clipunet_state_dict()
+    variables = convert_torch_clipunet_state_dict({"model_state_dict": sd})
+
+    with torch.no_grad():
+        x = torch.rand(2, 3, 32, 32, generator=torch.Generator().manual_seed(9))
+        want = _clipunet_oracle(sd, hf, x).numpy().transpose(0, 2, 3, 1)
+
+    model = ClipUNet(
+        num_classes=4,
+        vit=ClipViTConfig(image_size=32, patch_size=16, hidden_size=64,
+                          num_layers=3, num_heads=4, mlp_dim=128),
+        skip_indices=(1, 2), decoder_channels=(64, 32, 16),
+    )
+    got = np.asarray(model.apply(
+        jax.tree.map(jnp.asarray, variables),
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), train=False,
+    ))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_prompt_conversion_loads_into_prompt_model():
+    """PromptModel = clip.(full ClipUNet) + mask.(4-in/1-out UNet)
+    (reference prompt_based/prompt.py:15-16): converted tree must match
+    PromptModel.init name-for-name and shape-for-shape (the two halves'
+    numerics are pinned by their own oracle tests)."""
+    import flax
+
+    from image_segmentation_tpu.models.clip_vit import ClipViTConfig
+    from image_segmentation_tpu.models.prompt import PromptModel
+    from image_segmentation_tpu.models.torch_import import (
+        convert_torch_prompt_state_dict,
+    )
+
+    # 4 decoder blocks climb the smoke grid (2px) back to the 32px input
+    # so the clip and mask branches meet at the same resolution
+    clip_sd, _ = _clipunet_state_dict(
+        seed=3, num_layers=4,
+        blocks=((64, 32), (32, 16), (16, 8), (8, 8)),
+    )
+    mask_sd = _reference_layout_state_dict(seed=4, din=4, dout=1)
+    sd = {f"clip.{k}": v for k, v in clip_sd.items()}
+    sd.update({f"mask.{k}": v for k, v in mask_sd.items()})
+    variables = convert_torch_prompt_state_dict({"model_state_dict": sd})
+
+    model = PromptModel(
+        vit=ClipViTConfig(image_size=32, patch_size=16, hidden_size=64,
+                          num_layers=4, num_heads=4, mlp_dim=128),
+        skip_indices=(1, 2, 3, 4), decoder_channels=(64, 32, 16, 8, 8),
+        unet_base=BASE,
+    )
+    init = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+        jnp.zeros((1, 32, 32, 1)), train=False,
+    )
+    for col in ("params", "batch_stats"):
+        got = {k: np.asarray(v).shape for k, v in
+               flax.traverse_util.flatten_dict(variables[col], sep="/").items()}
+        want = {k: np.asarray(v).shape for k, v in
+                flax.traverse_util.flatten_dict(init[col], sep="/").items()}
+        assert got == want, col
