@@ -72,6 +72,12 @@ def main(argv=None):
                    help="converted CLIP ViT params (.npz)")
     p.add_argument("--clipunet-checkpoint", default=None,
                    help="trained ClipUNet checkpoint for the prompt model")
+    p.add_argument("--init-weights", default=None,
+                   help="initialize params (+ BN stats) from a "
+                        "weights-only artifact — e.g. a reference torch "
+                        "checkpoint converted by "
+                        "scripts/convert_unet_weights.py — then train "
+                        "(fine-tune) from there")
     p.add_argument("--smoke-vit", action="store_true",
                    help="tiny ViT matched to --target-size (smoke tests "
                         "of the clip/prompt wiring without the 86M encoder)")
@@ -253,6 +259,16 @@ def main(argv=None):
     variables = model.init(jax.random.PRNGKey(cfg.seed), *sample, train=False)
 
     params = variables["params"]
+    if args.init_weights:
+        from image_segmentation_tpu.train.checkpoint import (
+            load_variables_only,
+        )
+
+        loaded = load_variables_only(args.init_weights)
+        params = loaded["params"]
+        if "batch_stats" in loaded:
+            variables = {**variables, "batch_stats": loaded["batch_stats"]}
+        print(f"[run] initialized weights from {args.init_weights}")
     if cfg.model == "autoencoder" and args.pretrained_encoder:
         params = ckpt.load_subtree(
             args.pretrained_encoder, params,

@@ -446,3 +446,38 @@ def test_prompt_conversion_loads_into_prompt_model():
         want = {k: np.asarray(v).shape for k, v in
                 flax.traverse_util.flatten_dict(init[col], sep="/").items()}
         assert got == want, col
+
+
+@pytest.mark.slow
+def test_migrated_checkpoint_fine_tunes_through_runner(tmp_path):
+    """Full migration-then-fine-tune flow: reference torch UNet .pth ->
+    conversion script -> run.py --init-weights trains from the migrated
+    weights (full-size base=64 tree, matching the unet config)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from scripts.convert_unet_weights import main as convert_main
+
+    from image_segmentation_tpu.run import main as run_main
+
+    # base=64: the layout helper only fixes names; widths follow BASE, so
+    # build a full-size dict by temporarily scaling
+    global BASE
+    old = BASE
+    try:
+        BASE = 64
+        sd = _reference_layout_state_dict(seed=6)
+    finally:
+        BASE = old
+    pth = str(tmp_path / "ref.pth")
+    torch.save({"model_state_dict": sd}, pth)
+    out = str(tmp_path / "MO_unet")
+    convert_main(["--torch-checkpoint", pth, "--out", out])
+
+    res = run_main([
+        "--config", "unet_noaug", "--synthetic", "6", "--epochs", "1",
+        "--batch-size", "2", "--target-size", "32",
+        "--save-dir", str(tmp_path / "runs"), "--init-weights", out,
+        "--max-devices", "1",
+    ])
+    assert len(res.history["train_loss"]) == 1
