@@ -72,7 +72,7 @@ def encode_png_base64(arr: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
-def build_demo_engine(seed: int = 0) -> InferenceEngine:
+def build_demo_engine(seed: int = 0, mesh=None) -> InferenceEngine:
     """Random-weight registry with all four model families at reduced
     size — exercises the full serving path without checkpoints."""
     import jax
@@ -83,7 +83,7 @@ def build_demo_engine(seed: int = 0) -> InferenceEngine:
     from image_segmentation_tpu.models.clip_vit import ClipViTConfig
     from image_segmentation_tpu.models.prompt import PromptModel
 
-    eng = InferenceEngine()
+    eng = InferenceEngine(mesh=mesh)
     key = jax.random.PRNGKey(seed)
 
     unet = UNet(num_classes=4, base=8)
@@ -117,7 +117,7 @@ def build_demo_engine(seed: int = 0) -> InferenceEngine:
     return eng
 
 
-def build_engine_from_checkpoints(models_dir: str) -> InferenceEngine:
+def build_engine_from_checkpoints(models_dir: str, mesh=None) -> InferenceEngine:
     """Load trained weights-only checkpoints (the MO_{name} artifacts)
     from models_dir for whichever of the 4 model families are present."""
     import jax
@@ -140,7 +140,7 @@ def build_engine_from_checkpoints(models_dir: str) -> InferenceEngine:
             (jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 224, 224, 1))),
         ),
     }
-    eng = InferenceEngine()
+    eng = InferenceEngine(mesh=mesh)
     for name, (model, tsize, needs_prompt, sample) in specs.items():
         path = os.path.join(models_dir, f"MO_{name}")
         if not os.path.isdir(path):
@@ -269,13 +269,25 @@ def main():
     p.add_argument("--max-batch", type=int, default=0,
                    help="enable request micro-batching with this batch size "
                         "(serve/batching.py); 0 = per-request forwards")
+    p.add_argument("--mesh", action="store_true",
+                   help="serve the whole slice: replicate weights over "
+                        "all visible devices and shard batched requests "
+                        "across them (pairs with --max-batch)")
     args = p.parse_args()
 
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from image_segmentation_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh()
+        print(f"[serve] mesh serving over {jax.device_count()} devices")
     if args.demo or not args.models_dir:
         print("[serve] demo mode: random-weight models")
-        engine = build_demo_engine()
+        engine = build_demo_engine(mesh=mesh)
     else:
-        engine = build_engine_from_checkpoints(args.models_dir)
+        engine = build_engine_from_checkpoints(args.models_dir, mesh=mesh)
     if args.max_batch > 1:
         from image_segmentation_tpu.serve.batching import BatchingEngine
 

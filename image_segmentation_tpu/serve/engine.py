@@ -34,13 +34,32 @@ class ModelEntry:
 
 
 class InferenceEngine:
-    def __init__(self, fast_transfer: bool = True):
+    def __init__(self, fast_transfer: bool = True, mesh=None):
         """fast_transfer compresses host↔device traffic (uint8 inputs,
         bfloat16 score outputs — ~2.5× fewer bytes per request). Inputs
         originate from 8-bit images so the quantisation is at the source
-        precision; disable for bit-exact float32 transport."""
+        precision; disable for bit-exact float32 transport.
+
+        `mesh`: optional jax.sharding.Mesh for serving a whole slice —
+        variables replicate across it and batched requests (from
+        BatchingEngine) shard their leading dim over 'data', so XLA
+        splits each forward across the chips over ICI. Batches not
+        divisible by the device count run replicated (the single-chip
+        plan); the reference has no equivalent (one eager CPU forward
+        per request, segmentation_webapp/app.py:281-288)."""
         self.models: Dict[str, ModelEntry] = {}
         self.fast_transfer = fast_transfer
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from image_segmentation_tpu.parallel.mesh import DATA_AXIS
+
+            self._batch_sharding = NamedSharding(
+                mesh, PartitionSpec(DATA_AXIS)
+            )
+            self._n_mesh_devices = int(np.prod(list(mesh.shape.values())))
 
     def register(
         self,
@@ -54,15 +73,33 @@ class InferenceEngine:
         """Register a flax model + variables under `name` with one jitted
         inference forward."""
         fast = self.fast_transfer
+        if self.mesh is not None:
+            from image_segmentation_tpu.parallel.mesh import replicate
+
+            variables = replicate(variables, self.mesh)
 
         @jax.jit
-        def forward(*inputs):
+        def jitted(*inputs):
             inputs = [
                 x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
                 for x in inputs
             ]
             out = model.apply(variables, *inputs, train=False)
             return out.astype(jnp.bfloat16) if fast else out
+
+        if self.mesh is None:
+            forward = jitted
+        else:
+            sharding = self._batch_sharding
+            n_dev = self._n_mesh_devices
+
+            def forward(*inputs):
+                if inputs[0].shape[0] % n_dev == 0:
+                    inputs = tuple(
+                        jax.device_put(jnp.asarray(x), sharding)
+                        for x in inputs
+                    )
+                return jitted(*inputs)
 
         self.models[name] = ModelEntry(
             name=name,

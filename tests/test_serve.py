@@ -3,6 +3,9 @@ handler (reference segmentation_webapp/app.py behavioral contracts)."""
 import base64
 import io
 
+import jax
+import jax.numpy as jnp
+
 import numpy as np
 import pytest
 
@@ -208,3 +211,57 @@ class TestBatchingEngine:
                 be.segment(np.zeros((8, 8, 3), np.float32), "nope")
         finally:
             be.close()
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 fake devices")
+class TestMeshServing:
+    def test_mesh_engine_matches_single_device(self):
+        """InferenceEngine(mesh=...) replicates weights over the slice and
+        shards divisible batches over 'data'; outputs must equal the
+        single-device engine bit-for-bit-ish, for both a divisible batch
+        (sharded plan) and an odd batch (replicated fallback)."""
+        import numpy as np
+
+        from image_segmentation_tpu.models import UNet
+        from image_segmentation_tpu.parallel.mesh import get_mesh
+        from image_segmentation_tpu.serve.engine import InferenceEngine
+
+        model = UNet(num_classes=4, base=8)
+        v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                       train=False)
+        plain = InferenceEngine(fast_transfer=False)
+        plain.register("unet", model, v, target_size=32)
+        mesh = get_mesh(jax.devices()[:8])
+        meshed = InferenceEngine(fast_transfer=False, mesh=mesh)
+        meshed.register("unet", model, v, target_size=32)
+
+        rng = np.random.default_rng(0)
+        for batch in (8, 3):
+            x = jnp.asarray(rng.uniform(0, 1, (batch, 32, 32, 3)),
+                            jnp.float32)
+            want = np.asarray(plain.models["unet"].forward(x))
+            got = np.asarray(meshed.models["unet"].forward(x))
+            np.testing.assert_allclose(got, want, atol=2e-5)
+
+        # the divisible batch really is sharded across the mesh
+        x8 = jax.device_put(
+            jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 3)), jnp.float32))
+        out = meshed.models["unet"].forward(x8)
+        assert len(out.sharding.device_set) == 8
+
+    def test_segment_through_mesh_engine(self):
+        import numpy as np
+
+        from image_segmentation_tpu.models import UNet
+        from image_segmentation_tpu.parallel.mesh import get_mesh
+        from image_segmentation_tpu.serve.engine import InferenceEngine
+
+        model = UNet(num_classes=4, base=8)
+        v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                       train=False)
+        eng = InferenceEngine(mesh=get_mesh(jax.devices()[:8]))
+        eng.register("unet", model, v, target_size=32)
+        img = np.random.default_rng(1).uniform(0, 1, (41, 57, 3)).astype(
+            np.float32)
+        res = eng.segment(img, "unet")
+        assert res["mask"].shape == (41, 57)
