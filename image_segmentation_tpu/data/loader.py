@@ -57,11 +57,24 @@ def materialize(
     target_size: int,
     keep_orig_labels: bool = False,
     antialias: bool = True,
+    native: bool = True,
 ) -> MaterializedDataset:
     """Resize+pad every item to (T, T) once, on the host.
 
-    Works for (img, label) and (img, heatmap, label) datasets.
+    Works for (img, label) and (img, heatmap, label) datasets. File-backed
+    datasets without image transforms take the native C++ decode+staging
+    path (data/native_pipeline.py) when the codec library built;
+    everything else (and `native=False`) uses the PIL + numpy loop below.
     """
+    if native:
+        from image_segmentation_tpu.data import native_pipeline as NP
+
+        fast = NP.try_materialize_dataset(
+            dataset, target_size,
+            keep_orig_labels=keep_orig_labels, antialias=antialias,
+        )
+        if fast is not None:
+            return fast
     images, labels, heatmaps, metas_list, origs = [], [], [], None, []
     metas_cols = {f: [] for f in G.ResizeMeta._fields}
     has_heat = False

@@ -175,6 +175,12 @@ def main(argv=None):
                                                size=cfg.target_size)
 
     def remap_ds(ds):
+        # File-backed datasets keep the remap as a target_transform so
+        # materialize() can take the native C++ decode+staging fast path
+        # (data/native_pipeline.py); in-memory datasets remap eagerly.
+        if isinstance(ds, SegmentationDataset):
+            ds.target_transform = target_remap
+            return ds
         return ArrayDataset(
             [(ds[i][0], target_remap(np.asarray(ds[i][1]))) for i in range(len(ds))]
         )

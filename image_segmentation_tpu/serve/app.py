@@ -38,18 +38,37 @@ TEMPLATE_DIR = os.path.join(
 )
 
 
+def _strip_data_url(data: str) -> bytes:
+    if "," in data[:64] and data.lstrip().startswith("data:"):
+        data = data.split(",", 1)[1]
+    return base64.b64decode(data)
+
+
+def _decode_upload(raw: bytes) -> np.ndarray:
+    """(H, W, C) uint8 from PNG/JPEG bytes — native codec
+    (ops/native_codec.py) with PIL fallback for formats it declines
+    (CMYK JPEGs, GIF/BMP uploads)."""
+    try:
+        from image_segmentation_tpu.ops import native_codec as nc
+
+        if nc.available():
+            return nc.decode_bytes(raw)
+    except Exception:
+        pass
+    from PIL import Image
+
+    with Image.open(io.BytesIO(raw)) as im:
+        return np.asarray(im.convert("RGBA") if im.mode == "P" else im)
+
+
 def decode_base64_image(data: str) -> np.ndarray:
     """b64 (optionally data-URL) → (H, W, 3) float32 [0,1], alpha dropped
     (reference app.py:97-114)."""
-    from PIL import Image
-
-    if "," in data[:64] and data.lstrip().startswith("data:"):
-        data = data.split(",", 1)[1]
-    raw = base64.b64decode(data)
-    with Image.open(io.BytesIO(raw)) as im:
-        arr = np.asarray(im.convert("RGBA") if im.mode == "P" else im)
+    arr = _decode_upload(_strip_data_url(data))
     if arr.ndim == 2:
-        arr = np.repeat(arr[:, :, None], 3, axis=2)
+        arr = arr[:, :, None]
+    if arr.shape[2] == 1:
+        arr = np.repeat(arr, 3, axis=2)
     arr = arr[:, :, :3]
     return arr.astype(np.float32) / 255.0
 
@@ -57,9 +76,17 @@ def decode_base64_image(data: str) -> np.ndarray:
 def decode_base64_gray(data: str) -> np.ndarray:
     from PIL import Image
 
-    if "," in data[:64] and data.lstrip().startswith("data:"):
-        data = data.split(",", 1)[1]
-    raw = base64.b64decode(data)
+    raw = _strip_data_url(data)
+    try:
+        from image_segmentation_tpu.ops import native_codec as nc
+
+        if nc.available():
+            arr = nc.decode_bytes(raw)
+            if arr.shape[2] == 1:  # L-mode PNG (labels, heatmaps)
+                return arr[:, :, 0]
+            # multichannel → PIL's luma conversion below
+    except Exception:
+        pass
     with Image.open(io.BytesIO(raw)) as im:
         return np.asarray(im.convert("L"))
 
