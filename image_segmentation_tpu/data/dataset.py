@@ -71,6 +71,8 @@ class SegmentationDataset:
         img = img.astype(np.float32) / 255.0
         if img.shape[2] == 4:  # drop alpha (reference utils/utils.py:92-93)
             img = img[:, :, :3]
+        if img.shape[2] == 2:  # gray+alpha: drop alpha, replicate gray
+            img = img[:, :, :1]
         if img.shape[2] == 1:
             img = np.repeat(img, 3, axis=2)
         label = _decode_image(os.path.join(self.label_dir, stem + self.label_ext))

@@ -60,6 +60,8 @@ def _fallback_item(img_path, label_path, heatmap_path, target, antialias):
     img = D._decode_image(img_path).astype(np.float32) / 255.0
     if img.shape[2] == 4:
         img = img[:, :, :3]
+    if img.shape[2] == 2:  # gray+alpha: drop alpha, replicate gray
+        img = img[:, :, :1]
     if img.shape[2] == 1:
         img = np.repeat(img, 3, axis=2)
     out, meta = G.resize_with_padding_np(
@@ -125,9 +127,8 @@ def materialize_paths(
                 img_paths[i], target_size, antialias=antialias
             )
             if keep_orig_labels:
-                h, w, _ = nc.probe(label_paths[i])
                 lab, _, orig = nc.load_label(
-                    label_paths[i], target_size, orig_hw=(h, w)
+                    label_paths[i], target_size, want_orig=True
                 )
             else:
                 lab, _ = nc.load_label(label_paths[i], target_size)

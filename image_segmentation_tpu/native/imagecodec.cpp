@@ -108,9 +108,16 @@ int decode_png(const uint8_t* buf, size_t len, std::vector<uint8_t>* px,
   png_set_read_fn(png, &reader, png_mem_read);
   png_read_info(png, info);
 
+  // 16-bit PNGs decode to uint16 under PIL but would be silently
+  // truncated to the high byte here — decline so the PIL fallback
+  // (the parity oracle) handles them.
+  if (png_get_bit_depth(png, info) == 16) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return CODEC_ERR_FORMAT;
+  }
+
   // Normalise to 8-bit gray/rgb/rgba — the same shapes PIL's asarray
   // yields for L/P/RGB/RGBA inputs (data/dataset.py _decode_image).
-  png_set_strip_16(png);
   png_set_palette_to_rgb(png);
   png_set_expand_gray_1_2_4_to_8(png);
   if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
@@ -145,7 +152,12 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(e->jmp, 1);
 }
 
-void jpeg_silent(j_common_ptr, int) {}
+// Silence stderr output but keep counting corruption warnings (the
+// default emit_message increments num_warnings for msg_level < 0, which
+// decode_jpeg checks to reject truncated streams).
+void jpeg_silent(j_common_ptr cinfo, int msg_level) {
+  if (msg_level < 0) cinfo->err->num_warnings++;
+}
 
 int decode_jpeg(const uint8_t* buf, size_t len, std::vector<uint8_t>* px,
                 int* h, int* w, int* c, bool header_only) {
@@ -191,8 +203,13 @@ int decode_jpeg(const uint8_t* buf, size_t len, std::vector<uint8_t>* px,
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  // Truncated streams are WARNINGS to libjpeg (it gray-fills the rest);
+  // PIL raises on them. Treat any corruption warning as a decode error
+  // so the caller's fallback/error path engages instead of silently
+  // materialising half-gray images.
+  const long warnings = cinfo.err->num_warnings;
   jpeg_destroy_decompress(&cinfo);
-  return CODEC_OK;
+  return warnings > 0 ? CODEC_ERR_DECODE : CODEC_OK;
 }
 
 // ------------------------------------------------------------ dispatch --
@@ -307,7 +324,10 @@ int codec_load_image_f32(const char* path, int target, int antialias,
 // Decode a class-id PNG label -> channel 0 -> nearest (legacy floor map,
 // the reference's torchvision NEAREST) resize -> centred pad -> int32
 // (target, target). If orig != nullptr the native-resolution label plane
-// is also written (orig_cap >= h*w required; probe first).
+// (row-major, h*w values) is also written when orig_cap allows; when it
+// doesn't, returns CODEC_ERR_SIZE with meta6 VALID so the caller can
+// re-call with an exact buffer — no separate probe (and file re-read)
+// needed for the common case of a generous default capacity.
 int codec_load_label_i32(const char* path, int target, int32_t* out,
                          int* meta6, int32_t* orig, long orig_cap) {
   std::vector<uint8_t> buf;
@@ -317,15 +337,16 @@ int codec_load_label_i32(const char* path, int target, int32_t* out,
   int rc = decode_any(buf.data(), buf.size(), &px, &h, &w, &c, false);
   if (rc != CODEC_OK) return rc;
 
+  int nh, nw, pt, pl;
+  double scale;
+  forward_meta(h, w, target, &nh, &nw, &pt, &pl, &scale);
+  fill_meta(meta6, h, w, nh, nw, pt, pl);
+
   if (orig != nullptr) {
     if (static_cast<long>(h) * w > orig_cap) return CODEC_ERR_SIZE;
     for (size_t i = 0; i < static_cast<size_t>(h) * w; ++i)
       orig[i] = px[i * c];
   }
-
-  int nh, nw, pt, pl;
-  double scale;
-  forward_meta(h, w, target, &nh, &nw, &pt, &pl, &scale);
   // legacy floor(dst*in/out) index map — ops/geometry.py
   // resize_nearest_np(exact=False)
   std::vector<int> yi(nh), xi(nw);
@@ -341,8 +362,7 @@ int codec_load_label_i32(const char* path, int target, int32_t* out,
     int32_t* dst = out + static_cast<size_t>(pt + y) * target + pl;
     for (int x = 0; x < nw; ++x) dst[x] = src[static_cast<size_t>(xi[x]) * c];
   }
-  fill_meta(meta6, h, w, nh, nw, pt, pl);
-  return CODEC_OK;
+  return CODEC_OK;  // meta6 already filled above
 }
 
 // Decode a 0-255 L-mode heatmap PNG -> float [0,1] -> linear resize ->

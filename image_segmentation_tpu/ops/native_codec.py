@@ -130,6 +130,21 @@ def probe(path: str) -> Tuple[int, int, int]:
     return h.value, w.value, c.value
 
 
+def probe_bytes(data: bytes) -> Tuple[int, int, int]:
+    """(h, w, channels) of in-memory PNG/JPEG bytes — header-only, no
+    full decode (the cheap gate for format-dependent dispatch)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native image codec unavailable")
+    buf = np.frombuffer(data, np.uint8)
+    bp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    h = ctypes.c_int(); w = ctypes.c_int(); c = ctypes.c_int()
+    rc = lib.codec_probe_mem(bp, len(data), h, w, c)
+    if rc != 0:
+        raise CodecError(rc, "probe bytes")
+    return h.value, w.value, c.value
+
+
 def decode_bytes(data: bytes) -> np.ndarray:
     """Decode in-memory PNG/JPEG bytes to (H, W, C) uint8 — the serving
     upload path's native alternative to PIL."""
@@ -172,32 +187,59 @@ def load_image(path: str, target: int, antialias: bool = True):
     return out, _meta_dict(m, target)
 
 
-def load_label(path: str, target: int, orig_hw: Optional[Tuple[int, int]] = None):
+# default speculative orig-label capacity: comfortably above Oxford-Pet
+# native resolutions (≤ ~500×500), so one decode suffices per file
+_DEFAULT_ORIG_CAP = 768 * 768
+
+
+def load_label(
+    path: str,
+    target: int,
+    orig_hw: Optional[Tuple[int, int]] = None,
+    want_orig: bool = False,
+):
     """Decode a class-id label PNG + nearest resize_with_padding.
 
-    Returns ((T, T) int32, meta dict[, (H, W) int32 native-resolution
-    label when orig_hw is given — probe() supplies the dims])."""
+    Returns ((T, T) int32, meta dict) — plus the (H, W) int32
+    native-resolution label when `orig_hw` (exact dims, e.g. from
+    probe()) or `want_orig` (dims discovered from the decode itself via
+    a speculative buffer; no separate probe/file re-read) is given."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native image codec unavailable")
     out = np.empty((target, target), np.int32)
     m = _meta_buf()
     if orig_hw is not None:
-        orig = np.empty(orig_hw, np.int32)
-        op = orig.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-        cap = orig.size
+        flat = np.empty(int(orig_hw[0]) * int(orig_hw[1]), np.int32)
+    elif want_orig:
+        flat = np.empty(_DEFAULT_ORIG_CAP, np.int32)
     else:
-        orig, op, cap = None, None, 0
-    rc = lib.codec_load_label_i32(
-        path.encode(), target,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        m.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), op, cap,
-    )
+        flat = None
+
+    def call(buf):
+        bp = (
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            if buf is not None
+            else None
+        )
+        return lib.codec_load_label_i32(
+            path.encode(), target,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), bp,
+            buf.size if buf is not None else 0,
+        )
+
+    rc = call(flat)
+    if rc == -4 and flat is not None and m[0] > 0:
+        # capacity miss: meta6 is valid (C contract) — retry exact
+        flat = np.empty(int(m[0]) * int(m[1]), np.int32)
+        rc = call(flat)
     if rc != 0:
         raise CodecError(rc, f"load label {path}")
     meta = _meta_dict(m, target)
-    if orig is not None:
-        return out, meta, orig
+    if flat is not None:
+        h, w = meta["original_size"]
+        return out, meta, flat[: h * w].reshape(h, w).copy()
     return out, meta
 
 

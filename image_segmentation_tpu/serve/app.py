@@ -67,6 +67,8 @@ def decode_base64_image(data: str) -> np.ndarray:
     arr = _decode_upload(_strip_data_url(data))
     if arr.ndim == 2:
         arr = arr[:, :, None]
+    if arr.shape[2] == 2:  # gray+alpha: drop alpha, replicate gray
+        arr = arr[:, :, :1]
     if arr.shape[2] == 1:
         arr = np.repeat(arr, 3, axis=2)
     arr = arr[:, :, :3]
@@ -80,11 +82,11 @@ def decode_base64_gray(data: str) -> np.ndarray:
     try:
         from image_segmentation_tpu.ops import native_codec as nc
 
-        if nc.available():
-            arr = nc.decode_bytes(raw)
-            if arr.shape[2] == 1:  # L-mode PNG (labels, heatmaps)
-                return arr[:, :, 0]
-            # multichannel → PIL's luma conversion below
+        # header-only probe gates the native path: decode natively only
+        # for single-channel images (labels, heatmaps); multichannel
+        # needs PIL's luma conversion, so don't pay a throwaway decode
+        if nc.available() and nc.probe_bytes(raw)[2] == 1:
+            return nc.decode_bytes(raw)[:, :, 0]
     except Exception:
         pass
     with Image.open(io.BytesIO(raw)) as im:

@@ -113,6 +113,34 @@ class TestDecode:
             nc.decode_bytes(p.read_bytes())
         assert ei.value.rc == -2
 
+    def test_truncated_jpeg_rejected(self, tmp_path, rng):
+        """libjpeg gray-fills truncated streams with only a WARNING; the
+        codec must surface that as a decode error like PIL does."""
+        img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        p = tmp_path / "t.jpg"
+        Image.fromarray(img).save(p, quality=90)
+        data = p.read_bytes()
+        with pytest.raises(nc.CodecError) as ei:
+            nc.decode_bytes(data[: len(data) // 2])
+        assert ei.value.rc == -3
+
+    def test_16bit_png_declined(self, tmp_path):
+        """16-bit PNGs decode to uint16 under PIL; the codec declines
+        them (it would truncate to the high byte) so the PIL fallback —
+        the parity oracle — handles them."""
+        arr16 = (np.arange(64, dtype=np.uint16).reshape(8, 8) * 1000)
+        p = tmp_path / "d16.png"
+        Image.fromarray(arr16, mode="I;16").save(p)
+        with pytest.raises(nc.CodecError) as ei:
+            nc.decode_bytes(p.read_bytes())
+        assert ei.value.rc == -2
+
+    def test_probe_bytes(self, tmp_path, rng):
+        img = rng.integers(0, 256, (12, 34, 3), dtype=np.uint8)
+        p = tmp_path / "a.png"
+        Image.fromarray(img).save(p)
+        assert nc.probe_bytes(p.read_bytes()) == (12, 34, 3)
+
 
 class TestFusedLoads:
     def test_load_image_matches_numpy_path(self, tmp_path, rng):
@@ -157,6 +185,23 @@ class TestFusedLoads:
         )
         assert meta == rmeta
         np.testing.assert_array_equal(out, ref[:, :, 0].astype(np.int32))
+        np.testing.assert_array_equal(orig, lab.astype(np.int32))
+        # want_orig discovers the dims from the decode — no probe call
+        out2, meta2, orig2 = nc.load_label(str(p), 64, want_orig=True)
+        assert meta2 == meta
+        np.testing.assert_array_equal(out2, out)
+        np.testing.assert_array_equal(orig2, orig)
+
+    def test_load_label_want_orig_capacity_retry(self, tmp_path, rng):
+        """A label larger than the speculative buffer triggers the
+        meta-guided exact retry (C contract: CODEC_ERR_SIZE with valid
+        meta6)."""
+        h, w = 800, 900  # > _DEFAULT_ORIG_CAP = 768*768
+        lab = rng.integers(0, 4, (h, w), dtype=np.uint8)
+        p = tmp_path / "big.png"
+        Image.fromarray(lab, mode="L").save(p)
+        out, meta, orig = nc.load_label(str(p), 64, want_orig=True)
+        assert meta["original_size"] == (h, w)
         np.testing.assert_array_equal(orig, lab.astype(np.int32))
 
     def test_load_heatmap_matches_numpy_path(self, tmp_path, rng):
@@ -237,6 +282,38 @@ class TestPipeline:
         np.testing.assert_allclose(fast.images, slow.images, atol=2e-2)
         np.testing.assert_array_equal(fast.labels, slow.labels)
 
+    def test_la_png_materialises_on_both_paths(self, tmp_path, rng):
+        """Gray+alpha (LA) PNGs: the codec declines c==2 for images; the
+        fallback (and the pure-Python path) drop alpha and replicate
+        gray — both paths must agree and produce (T, T, 3)."""
+        img_dir, lab_dir, _ = _write_tree(tmp_path, rng, n=2)
+        la = rng.integers(0, 256, (25, 31, 2), dtype=np.uint8)
+        Image.fromarray(la, mode="LA").save(
+            os.path.join(img_dir, "img0.jpg"), format="PNG"
+        )
+        ds = SegmentationDataset(img_dir, lab_dir)
+        fast = L.materialize(ds, 32)
+        slow = L.materialize(ds, 32, native=False)
+        assert fast.images.shape == (2, 32, 32, 3)
+        np.testing.assert_allclose(fast.images, slow.images, atol=2e-2)
+        # the LA item is gray in all three channels
+        np.testing.assert_allclose(fast.images[0, :, :, 0],
+                                   fast.images[0, :, :, 1])
+
+    def test_16bit_label_falls_back_to_pil(self, tmp_path, rng):
+        """A 16-bit label PNG must round-trip through the PIL fallback
+        with its (uint16) values preserved, not byte-truncated."""
+        img_dir, lab_dir, _ = _write_tree(tmp_path, rng, n=1)
+        lab16 = (rng.integers(0, 4, (37, 53), dtype=np.uint16) * 1000)
+        Image.fromarray(lab16, mode="I;16").save(
+            os.path.join(lab_dir, "img0.png")
+        )
+        ds = SegmentationDataset(img_dir, lab_dir)
+        fast = L.materialize(ds, 32)
+        slow = L.materialize(ds, 32, native=False)
+        np.testing.assert_array_equal(fast.labels, slow.labels)
+        assert fast.labels.max() >= 256  # 16-bit values survived
+
     def test_single_worker_path(self, tmp_path, rng):
         img_dir, lab_dir, _ = _write_tree(tmp_path, rng, n=2)
         md = NP.materialize_paths(
@@ -269,3 +346,24 @@ class TestServeDecode:
         Image.fromarray(gray, mode="L").save(buf2, format="PNG")
         g64 = base64.b64encode(buf2.getvalue()).decode()
         np.testing.assert_array_equal(decode_base64_gray(g64), gray)
+
+        # RGB scribble upload → PIL luma conversion (native path is
+        # probe-gated to single-channel images)
+        rgb64 = base64.b64encode(buf.getvalue()).decode()
+        pil_luma = np.asarray(
+            Image.open(io.BytesIO(buf.getvalue())).convert("L")
+        )
+        np.testing.assert_array_equal(decode_base64_gray(rgb64), pil_luma)
+
+    def test_la_upload_gets_three_channels(self, rng):
+        import base64
+        import io
+
+        from image_segmentation_tpu.serve.app import decode_base64_image
+
+        la = rng.integers(0, 256, (9, 11, 2), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(la, mode="LA").save(buf, format="PNG")
+        out = decode_base64_image(base64.b64encode(buf.getvalue()).decode())
+        assert out.shape == (9, 11, 3)
+        np.testing.assert_allclose(out[:, :, 0], out[:, :, 2])
