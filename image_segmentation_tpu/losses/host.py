@@ -68,7 +68,17 @@ def dice_nll_loss_np(probs, targets, cfg) -> float:
     C = probs.shape[-1]
     p = _softmax(probs) if cfg.apply_softmax else probs
     d = _dice_np(p, targets, cfg.ignore_index, cfg.class_weights, cfg.smooth_dice)
-    logp = np.log(probs + 1e-9)
+    from image_segmentation_tpu.losses.cross_entropy import log_with_eps
+
+    if cfg.nll_nonlin is log_with_eps:
+        # float64 mirror of the default nonlin (log(x + 1e-9))
+        logp = np.log(probs + 1e-9)
+    else:
+        # custom nonlin: evaluate the loss's own callable (jnp-based ⇒
+        # float32 precision here; exact-f64 parity holds only for the
+        # default)
+        logp = np.asarray(cfg.nll_nonlin(probs.astype(np.float32)),
+                          dtype=np.float64)
     pix = -np.take_along_axis(logp, targets[..., None].clip(0, C - 1), axis=-1)[..., 0]
     n = _weighted_pixel_mean_np(pix, targets, cfg.class_weights, cfg.ignore_index, C)
     return cfg.dice_weight * d + cfg.nll_weight * n

@@ -276,11 +276,14 @@ def main(argv=None):
             variables = {**variables, "batch_stats": loaded["batch_stats"]}
         print(f"[run] initialized weights from {args.init_weights}")
     if cfg.model == "autoencoder" and args.pretrained_encoder:
-        params = ckpt.load_subtree(
-            args.pretrained_encoder, params,
+        v2 = ckpt.load_subtree_variables(
+            args.pretrained_encoder, {**variables, "params": params},
             src_prefix="encoder", dst_prefix="encoder",
         )
-        print("[run] loaded pretrained AE encoder")
+        params = v2["params"]
+        if "batch_stats" in v2:
+            variables = {**variables, "batch_stats": v2["batch_stats"]}
+        print("[run] loaded pretrained AE encoder (params + BN stats)")
     if cfg.model in ("clipunet", "clipunet_noskips", "prompt") and args.clip_weights:
         from image_segmentation_tpu.models.clip_vit import load_pretrained_clip_params
 
@@ -295,10 +298,15 @@ def main(argv=None):
         params = flax.traverse_util.unflatten_dict(flat, sep="/")
         print("[run] loaded pretrained CLIP ViT weights")
     if cfg.model == "prompt" and args.clipunet_checkpoint:
-        params = ckpt.load_subtree(
-            args.clipunet_checkpoint, params, src_prefix="", dst_prefix="clip"
+        v2 = ckpt.load_subtree_variables(
+            args.clipunet_checkpoint, {**variables, "params": params},
+            src_prefix="", dst_prefix="clip",
         )
-        print("[run] injected trained ClipUNet into the prompt model")
+        params = v2["params"]
+        if "batch_stats" in v2:
+            variables = {**variables, "batch_stats": v2["batch_stats"]}
+        print("[run] injected trained ClipUNet into the prompt model "
+              "(params + BN stats)")
 
     frozen = []
     if cfg.model == "autoencoder" and cfg.freeze_encoder and args.pretrained_encoder:

@@ -13,7 +13,9 @@ Contract being reproduced (reference utils/training.py:453-618):
   * cross-model weight surgery: load an encoder subtree by key prefix
     (autoencoder/autoencoder.py:229-241), inject a full ClipUNet
     checkpoint into the prompt model's clip branch
-    (prompt_based/prompt.py:20-27) — `load_subtree` covers both.
+    (prompt_based/prompt.py:20-27) — `load_subtree_variables` covers
+    both, grafting params AND BatchNorm running stats the way torch's
+    load_state_dict does (`load_subtree` is the params-only primitive).
 
 Orbax handles the array storage (async-capable, TPU-host friendly);
 metadata/history ride along as a msgpack blob.
@@ -62,7 +64,8 @@ def _worker(first_fn):
             fn()
         except BaseException as e:  # surfaced at the next wait_for_saves()
             with _SAVE_LOCK:
-                _SAVE_STATE["error"] = e
+                if _SAVE_STATE["error"] is None:  # keep the FIRST failure
+                    _SAVE_STATE["error"] = e
         with _SAVE_LOCK:
             if _SAVE_STATE["pending"]:
                 slot = next(iter(_SAVE_STATE["pending"]))
@@ -284,8 +287,13 @@ def load_subtree(
     with ocp.PyTreeCheckpointer() as ckptr:
         payload = ckptr.restore(os.path.abspath(checkpoint_path))
     src = payload[params_key] if params_key in payload else payload
+    return _graft(src, params, src_prefix, dst_prefix)
+
+
+def _graft(src, dst, src_prefix: str, dst_prefix: str,
+           allow_empty: bool = False):
     flat_src = flax.traverse_util.flatten_dict(src, sep="/")
-    flat_dst = dict(flax.traverse_util.flatten_dict(params, sep="/"))
+    flat_dst = dict(flax.traverse_util.flatten_dict(dst, sep="/"))
 
     sp = src_prefix.rstrip("/")
     dp = dst_prefix.rstrip("/")
@@ -304,8 +312,48 @@ def load_subtree(
             )
         flat_dst[dk] = v
         grafted += 1
-    if grafted == 0:
-        raise KeyError(
-            f"no keys under src_prefix={src_prefix!r} in {checkpoint_path}"
-        )
+    if grafted == 0 and not allow_empty:
+        raise KeyError(f"no keys under src_prefix={src_prefix!r}")
     return flax.traverse_util.unflatten_dict(flat_dst, sep="/")
+
+
+def load_subtree_variables(
+    checkpoint_path: str,
+    variables: dict,
+    *,
+    src_prefix: str = "",
+    dst_prefix: str = "",
+) -> dict:
+    """Graft a checkpoint subtree into a variables dict — BOTH params and
+    batch_stats.
+
+    `load_subtree` moves parameters only; models whose grafted subtree
+    contains BatchNorm (the AE encoder transfer, the ClipUNet→PromptModel
+    injection) also need the checkpoint's batch statistics, exactly as
+    the reference's torch load_state_dict carries running_mean/var
+    (reference autoencoder/autoencoder.py:229-241, prompt_based/
+    prompt.py:20-27) — a frozen branch restored without them would run
+    its BN layers on init statistics forever. batch_stats grafting is
+    skipped quietly when either side has none under the prefix (e.g. a
+    pure-LayerNorm ViT subtree)."""
+    wait_for_saves()
+    with ocp.PyTreeCheckpointer() as ckptr:
+        payload = ckptr.restore(os.path.abspath(checkpoint_path))
+    out = dict(variables)
+    src_params = payload["params"] if "params" in payload else payload
+    out["params"] = _graft(
+        src_params, variables["params"], src_prefix, dst_prefix
+    )
+    src_bs = payload.get("batch_stats") or {}
+    dst_bs = variables.get("batch_stats") or {}
+    if src_bs and dst_bs:
+        try:
+            out["batch_stats"] = _graft(
+                src_bs, dst_bs, src_prefix, dst_prefix, allow_empty=True
+            )
+        except KeyError:
+            # src has stats the destination subtree lacks (different
+            # architecture under the prefix) — params grafting above
+            # already vouched for compatibility of what matters
+            pass
+    return out

@@ -162,7 +162,11 @@ def make_masked_loss(cfg):
             onehot = onehot * valid[..., None].astype(scores.dtype)
             d = _masked_dice(p, onehot, valid, cfg.ignore_index,
                              cfg.class_weights, cfg.smooth_dice)
-            logp = jnp.log(scores + 1e-9)
+            # the loss's own nonlin (default log_with_eps = log(x+1e-9)),
+            # not a hard-coded copy — a custom nll_nonlin must evaluate
+            # identically here and in training (losses/cross_entropy.py
+            # nll_loss)
+            logp = cfg.nll_nonlin(scores)
             pix = -jnp.take_along_axis(
                 logp, jnp.clip(targets, 0, C - 1)[..., None], axis=-1
             )[..., 0]
@@ -187,31 +191,43 @@ def _build_eval_batch_fn(canvas_hw: Tuple[int, int], num_classes: int,
 
     @jax.jit
     def eval_batch(state, inputs, metas, label_canvases, real):
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        scores = state.apply_fn(variables, *inputs, train=False)
-        scores = scores.astype(jnp.float32)
-        inv = jax.vmap(
-            lambda s, m: _invert_one_to_canvas(s, m, canvas_hw)
-        )(scores, metas)  # (B, Hc, Wc, C)
-        labels = label_canvases.astype(jnp.int32)
-        valid = labels != FILL
-        pred = jnp.argmax(inv, axis=-1)
-        count_mask = valid & real[:, None, None]
-        idx = jnp.where(
-            count_mask,
-            jnp.clip(labels, 0, num_classes - 1) * num_classes + pred,
-            num_classes * num_classes,
+        return _eval_batch_core(
+            state, inputs, metas, label_canvases.astype(jnp.int32), real,
+            canvas_hw, num_classes, loss_fn,
         )
-        conf = jnp.bincount(
-            idx.reshape(-1), length=num_classes * num_classes + 1
-        )[:-1].reshape(num_classes, num_classes)
-        if loss_fn is not None:
-            losses = jax.vmap(loss_fn)(inv, labels, valid)
-        else:
-            losses = jnp.full((inv.shape[0],), jnp.nan, jnp.float32)
-        return conf, losses
 
     return eval_batch
+
+
+def _eval_batch_core(state, inputs, metas, labels, real, canvas_hw,
+                     num_classes, loss_fn):
+    """Shared traced body of the original-resolution eval protocol:
+    forward → per-image inverse geometry onto the static canvas → masked
+    loss → argmax → confusion counts (padding rows masked by `real`).
+    Both the per-batch and the single-dispatch epoch evaluator wrap this
+    so the protocol math cannot diverge between them."""
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    scores = state.apply_fn(variables, *inputs, train=False)
+    scores = scores.astype(jnp.float32)
+    inv = jax.vmap(
+        lambda s, m: _invert_one_to_canvas(s, m, canvas_hw)
+    )(scores, metas)  # (B, Hc, Wc, C)
+    valid = labels != FILL
+    pred = jnp.argmax(inv, axis=-1)
+    count_mask = valid & real[:, None, None]
+    idx = jnp.where(
+        count_mask,
+        jnp.clip(labels, 0, num_classes - 1) * num_classes + pred,
+        num_classes * num_classes,
+    )
+    conf = jnp.bincount(
+        idx.reshape(-1), length=num_classes * num_classes + 1
+    )[:-1].reshape(num_classes, num_classes)
+    if loss_fn is not None:
+        losses = jax.vmap(loss_fn)(inv, labels, valid)
+    else:
+        losses = jnp.full((inv.shape[0],), jnp.nan, jnp.float32)
+    return conf, losses
 
 
 def get_eval_batch_fn(canvas_hw, num_classes: int, loss_cfg=None):
@@ -245,34 +261,16 @@ def _build_eval_epoch_fn(canvas_hw: Tuple[int, int], num_classes: int,
 
     @jax.jit
     def eval_epoch(state, dev_inputs, dev_metas, dev_canvases, idx, real):
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-
         def body(conf, per):
             ii, rr = per
             inputs = tuple(jnp.take(x, ii, axis=0) for x in dev_inputs)
             metas = G.ResizeMeta(*(jnp.take(f, ii) for f in dev_metas))
             labels = jnp.take(dev_canvases, ii, axis=0).astype(jnp.int32)
-            scores = state.apply_fn(variables, *inputs, train=False)
-            scores = scores.astype(jnp.float32)
-            inv = jax.vmap(
-                lambda s, m: _invert_one_to_canvas(s, m, canvas_hw)
-            )(scores, metas)
-            valid = labels != FILL
-            pred = jnp.argmax(inv, axis=-1)
-            count_mask = valid & rr[:, None, None]
-            flat = jnp.where(
-                count_mask,
-                jnp.clip(labels, 0, num_classes - 1) * num_classes + pred,
-                num_classes * num_classes,
+            bconf, losses = _eval_batch_core(
+                state, inputs, metas, labels, rr,
+                canvas_hw, num_classes, loss_fn,
             )
-            conf = conf + jnp.bincount(
-                flat.reshape(-1), length=num_classes * num_classes + 1
-            )[:-1].reshape(num_classes, num_classes)
-            if loss_fn is not None:
-                losses = jax.vmap(loss_fn)(inv, labels, valid)
-            else:
-                losses = jnp.full((inv.shape[0],), jnp.nan, jnp.float32)
-            return conf, losses
+            return conf + bconf, losses
 
         conf0 = jnp.zeros((num_classes, num_classes), jnp.int32)
         conf, losses = jax.lax.scan(body, conf0, (idx, real))

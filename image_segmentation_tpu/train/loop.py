@@ -443,6 +443,17 @@ def fit(
         state = replicate(state, mesh)
 
     has_aux = train_data.has_heatmaps
+    if augment_fn is not None and has_aux:
+        # neither the epoch scan nor the streaming path augments
+        # heatmap triplets (the heatmap and its class-filtered target
+        # would need consistent spatial transforms) — fail loudly
+        # rather than silently training un-augmented
+        raise ValueError(
+            "augment_fn is not supported for prompt (heatmap) datasets; "
+            "generate augmented prompt triplets offline instead "
+            "(data.prompts.generate_prompt_dataset over an augmented "
+            "dataset, reference utils/augmentation.ipynb cell 23)"
+        )
     # Single-chip datasets within the HBM budget train as ONE dispatch
     # per epoch: data uploaded once, shuffle = an index permutation,
     # lax.scan over on-device gathered batches with the state donated
@@ -474,7 +485,7 @@ def fit(
     else:
         train_step = make_train_step(loss_fn, accum_steps=accum_steps,
                                      has_aux_input=has_aux)
-    forward = make_eval_forward()
+    forward = _default_eval_forward()  # shared: avoid per-fit recompiles
     rng = np.random.default_rng(seed + start_epoch)
     agg = MetricsHistory(num_classes, ignore_index=eval_ignore_index)
 
@@ -664,7 +675,7 @@ def fit_reconstruction(
                                        mesh=mesh)
     else:
         train_step = make_train_step(mse, accum_steps=accum_steps)
-    forward = make_eval_forward()
+    forward = _default_eval_forward()  # shared: avoid per-fit recompiles
     rng = np.random.default_rng(seed + start_epoch)
 
     for epoch in range(start_epoch, epochs):

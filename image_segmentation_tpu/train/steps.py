@@ -143,6 +143,11 @@ def make_train_epoch(
     and the step's gradient means psum exactly as in the per-batch DP
     path.
     """
+    if augment_fn is not None and has_aux_input:
+        raise ValueError(
+            "augment_fn cannot be applied to aux-input (heatmap) batches "
+            "— augment prompt triplets offline instead"
+        )
     body = _make_step_body(loss_fn, accum_steps, has_aux_input)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec

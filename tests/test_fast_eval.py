@@ -99,6 +99,34 @@ def test_masked_loss_dice_nll_dispatch():
     assert abs(dev - host) < 1e-5
 
 
+def test_masked_loss_honors_custom_nll_nonlin():
+    """The device mirror must evaluate the loss's OWN nll_nonlin, not a
+    hard-coded log(x + 1e-9) — and the host mirror must follow."""
+    rng = np.random.default_rng(4)
+    probs = rng.dirichlet(np.ones(4), size=(8, 8)).astype(np.float32)
+    labels = rng.integers(0, 4, (8, 8)).astype(np.int32)
+
+    def sharp_log(x):
+        return jnp.log(x + 1e-3)  # materially different eps
+
+    cfg = DiceNLLLoss(ignore_index=3, smooth_dice=1e-5, nll_nonlin=sharp_log)
+    default = DiceNLLLoss(ignore_index=3, smooth_dice=1e-5)
+    from image_segmentation_tpu.losses.host import dice_nll_loss_np
+
+    ones = jnp.ones((8, 8), bool)
+    dev = float(make_masked_loss(cfg)(jnp.asarray(probs),
+                                      jnp.asarray(labels), ones))
+    dev_default = float(make_masked_loss(default)(
+        jnp.asarray(probs), jnp.asarray(labels), ones))
+    assert dev != dev_default  # the nonlin actually took effect
+    # training loss (the loss object itself) agrees with the device mirror
+    train = float(cfg(jnp.asarray(probs), jnp.asarray(labels)))
+    assert abs(dev - train) < 1e-5
+    # host mirror follows the custom nonlin too (f32 tolerance)
+    host = dice_nll_loss_np(probs, labels, cfg)
+    assert abs(dev - host) < 1e-4
+
+
 @pytest.fixture(scope="module")
 def tiny_state():
     model = UNet(num_classes=4, base=8, dtype=jnp.float32)

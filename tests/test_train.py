@@ -118,6 +118,39 @@ class TestTrainEpoch:
     """make_train_epoch (one jitted dispatch per epoch over device-resident
     data) must run the SAME steps as the per-batch make_train_step path."""
 
+    def test_augment_with_aux_input_raises(self, tmp_path):
+        """Online augmentation cannot apply to prompt (heatmap) triplets;
+        both the epoch builder and fit() must refuse loudly instead of
+        silently training un-augmented."""
+        from image_segmentation_tpu.train.steps import make_train_epoch
+
+        aug = lambda x, y, k: (x, y)
+        with pytest.raises(ValueError, match="aux-input"):
+            make_train_epoch(DiceCELoss(), has_aux_input=True,
+                             augment_fn=aug)
+
+        rng = np.random.default_rng(0)
+        items = [
+            (
+                rng.uniform(0, 1, (32, 32, 3)).astype(np.float32),
+                rng.uniform(0, 1, (32, 32, 1)).astype(np.float32),
+                rng.integers(0, 4, (32, 32)).astype(np.int32),
+            )
+            for _ in range(4)
+        ]
+        data = materialize(ArrayDataset(items), 32, keep_orig_labels=True)
+        model = UNet(num_classes=4, base=8)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 4)),
+            make_adamw(1e-3),
+        )
+        with pytest.raises(ValueError, match="prompt"):
+            fit(
+                state, data, data, loss_fn=DiceCELoss(ignore_index=3),
+                epochs=1, batch_size=2, save_dir=str(tmp_path),
+                name="x", augment_fn=aug, verbose=False,
+            )
+
     def test_epoch_scan_matches_per_batch_steps(self):
         from image_segmentation_tpu.train.steps import make_train_epoch
 
@@ -439,6 +472,62 @@ class TestCheckpointSurgery:
         _, state8 = small_state(base=8)
         with pytest.raises((ValueError, KeyError)):
             ckpt.load_subtree(str(tmp_path / "a"), state8.params)
+
+    def test_load_subtree_variables_grafts_batch_stats(self, tmp_path):
+        """The encoder transfer must carry BN running statistics, not
+        just params — a frozen encoder restored without them would run
+        its BatchNorms on init stats forever (reference load_state_dict
+        always carries running_mean/var)."""
+        from image_segmentation_tpu.models import (
+            ReconstructionAutoencoder,
+            SegmentationAutoencoder,
+        )
+
+        r = ReconstructionAutoencoder(base=4)
+        state = create_train_state(
+            r, jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)), make_adamw()
+        )
+        # one train step so batch_stats move off their init values
+        step = make_train_step(lambda p, t: jnp.mean((p - t) ** 2))
+        x = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 1, (4, 32, 32, 3)),
+            jnp.float32,
+        )
+        state, _ = step(state, (x, x))
+        ckpt.save_checkpoint(str(tmp_path / "recon"), state, epoch=0)
+
+        s = SegmentationAutoencoder(base=4)
+        vs = s.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 3)))
+        out = ckpt.load_subtree_variables(
+            str(tmp_path / "recon"), vs,
+            src_prefix="encoder", dst_prefix="encoder",
+        )
+        got = jax.tree_util.tree_leaves(out["batch_stats"]["encoder"])
+        want = jax.tree_util.tree_leaves(state.batch_stats["encoder"])
+        assert len(got) == len(want) > 0
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+        # params grafted too
+        gp = jax.tree_util.tree_leaves(out["params"]["encoder"])
+        wp = jax.tree_util.tree_leaves(state.params["encoder"])
+        for g, w in zip(gp, wp):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    def test_save_worker_keeps_first_error(self):
+        """wait_for_saves re-raises the FIRST failure, not the last."""
+        ckpt.wait_for_saves()  # drain any prior state
+
+        def fail_a():
+            raise RuntimeError("first failure")
+
+        def fail_b():
+            raise RuntimeError("second failure")
+
+        ckpt._submit_save(fail_a, slot="a")
+        ckpt._submit_save(fail_b, slot="b")
+        with pytest.raises(RuntimeError, match="first failure"):
+            ckpt.wait_for_saves()
+        ckpt.wait_for_saves()  # error slot cleared after raising
 
 
 class TestWeightsOnlyArtifact:
