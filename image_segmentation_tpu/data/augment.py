@@ -53,7 +53,11 @@ def pad_to_square_resize(
     img_out = resize_linear_np(img_sq, (size, size), antialias=True).astype(
         np.float32
     )
-    lab_out = resize_nearest_np(lab_sq[..., None], (size, size))[..., 0]
+    # exact=False: legacy floor mapping, matching cv2/imgaug INTER_NEAREST
+    # (and this repo's own geometry parity path) rather than
+    # nearest-exact half-pixel centres
+    lab_out = resize_nearest_np(lab_sq[..., None], (size, size),
+                                exact=False)[..., 0]
     return np.clip(img_out, 0.0, 1.0), lab_out
 
 
@@ -211,9 +215,10 @@ def combine_images_preserve_aspect_ratio(
         s = min(size / h, half / w)
         nh, nw = max(1, int(round(h * s))), max(1, int(round(w * s)))
         if is_label:
-            r = resize_nearest_np(img[..., None], (nh, nw))[..., 0]
+            r = resize_nearest_np(img[..., None], (nh, nw),
+                                  exact=False)[..., 0]
         else:
-            r = resize_nearest_np(img, (nh, nw))
+            r = resize_nearest_np(img, (nh, nw), exact=False)
         oy = (size - nh) // 2
         ox = i * half + (half - nw) // 2
         canvas[oy : oy + nh, ox : ox + nw] = r

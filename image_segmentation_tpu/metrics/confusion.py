@@ -204,3 +204,17 @@ class MetricsHistory:
         self.epoch_per_class_dice_history = [np.asarray(x) for x in d["per_class_dice"]]
         self.epoch_per_class_iou_history = [np.asarray(x) for x in d["per_class_iou"]]
         self.epoch_per_class_acc_history = [np.asarray(x) for x in d["per_class_acc"]]
+        # the reference getters stay answerable after a restore: the last
+        # per-class vectors are the tails of the saved histories
+        self.last_per_class_dice = (
+            self.epoch_per_class_dice_history[-1]
+            if self.epoch_per_class_dice_history else None
+        )
+        self.last_per_class_iou = (
+            self.epoch_per_class_iou_history[-1]
+            if self.epoch_per_class_iou_history else None
+        )
+        self.last_per_class_acc = (
+            self.epoch_per_class_acc_history[-1]
+            if self.epoch_per_class_acc_history else None
+        )

@@ -123,9 +123,12 @@ def random_square_crop(img, label, key, min_scale: float = 0.5):
     k1, k2, k3 = jax.random.split(key, 3)
     size = img.shape[0]
     s = jax.random.uniform(k1, (), minval=min_scale, maxval=1.0)
-    side = s * size
-    oy = jax.random.uniform(k2, (), maxval=size - side)
-    ox = jax.random.uniform(k3, (), maxval=size - side)
+    # output index size-1 samples source s*(size-1)+offset, so the offset
+    # bound is (size-1)*(1-s) — `size - s*size` would let edge pixels
+    # sample past the last input pixel (zero fill bleeding into the label
+    # border)
+    oy = jax.random.uniform(k2, (), maxval=(size - 1.0) * (1.0 - s))
+    ox = jax.random.uniform(k3, (), maxval=(size - 1.0) * (1.0 - s))
     A = jnp.array(
         [[s, 0.0, oy], [0.0, s, ox]], jnp.float32
     )  # out (y,x) -> in (s*y+oy, s*x+ox)

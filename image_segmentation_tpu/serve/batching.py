@@ -5,8 +5,10 @@ The reference webapp runs one eager forward per HTTP request on CPU
 single-image forwards waste almost the whole chip; this wrapper
 collects concurrent requests into fixed-shape batches:
 
-  * per-model FIFO queues; a worker thread drains a queue into a batch
-    of up to `max_batch`, waiting at most `max_wait_ms` for stragglers;
+  * per-model FIFO queues served round-robin; a worker thread drains a
+    queue into a batch of up to `max_batch`, waiting at most
+    `max_wait_ms` for stragglers — but ONLY when more than one request
+    is already queued (a lone request dispatches immediately);
   * batches are PADDED to `max_batch` by repeating the last item, so
     the jitted forward compiles exactly once per model;
   * host-side staging (resize+pad) and un-staging (inverse geometry,
@@ -26,9 +28,11 @@ from typing import Dict, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from image_segmentation_tpu.data.labels import COLOR_MAP, colorize_mask
-from image_segmentation_tpu.ops import geometry as G
-from image_segmentation_tpu.serve.engine import InferenceEngine
+from image_segmentation_tpu.serve.engine import (
+    InferenceEngine,
+    stage_request,
+    unstage_result,
+)
 
 
 class _Pending:
@@ -59,6 +63,7 @@ class BatchingEngine:
         self._queues: Dict[str, deque] = defaultdict(deque)
         self._cv = threading.Condition()
         self._closed = False
+        self._last_served: Optional[str] = None
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -70,18 +75,41 @@ class BatchingEngine:
                 while not self._closed and not any(self._queues.values()):
                     self._cv.wait()
                 if self._closed:
+                    self._drain_locked()
                     return
-                name = next(m for m, q in self._queues.items() if q)
+                # round-robin across models: always resuming at the
+                # first-registered queue would starve every other model
+                # under sustained load on that one
+                keys = list(self._queues.keys())
+                if self._last_served in keys:
+                    i = keys.index(self._last_served) + 1
+                    keys = keys[i:] + keys[:i]
+                name = next(m for m in keys if self._queues[m])
+                self._last_served = name
                 q = self._queues[name]
-                # accumulate until the batch is full or the window closes
-                deadline = time.monotonic() + self.max_wait_s
-                while len(q) < self.max_batch and not self._closed:
-                    remaining = deadline - time.monotonic()
-                    if remaining <= 0:
-                        break
-                    self._cv.wait(timeout=remaining)
+                if len(q) > 1:
+                    # concurrency observed: give stragglers up to the
+                    # window to fill the batch
+                    deadline = time.monotonic() + self.max_wait_s
+                    while len(q) < self.max_batch and not self._closed:
+                        remaining = deadline - time.monotonic()
+                        if remaining <= 0:
+                            break
+                        self._cv.wait(timeout=remaining)
+                # a lone request dispatches immediately — single-stream
+                # latency pays no wait window; under load, requests that
+                # arrive during this forward coalesce into the next batch
                 batch = [q.popleft() for _ in range(min(len(q), self.max_batch))]
             self._process(name, batch)
+
+    def _drain_locked(self):
+        """Fail every queued request on shutdown (callers would otherwise
+        block their full timeout). Caller holds _cv."""
+        for q in self._queues.values():
+            while q:
+                p = q.popleft()
+                p.error = RuntimeError("BatchingEngine closed")
+                p.event.set()
 
     def _process(self, name: str, batch):
         entry = self.engine.models[name]
@@ -156,31 +184,15 @@ class BatchingEngine:
                 f"unknown model {model_name!r}; available: {self.available()}"
             )
         entry = self.engine.models[model_name]
-        t = entry.target_size
-
-        def pack(arr):
-            if getattr(self.engine, "fast_transfer", False):
-                return np.clip(np.round(arr * 255.0), 0, 255).astype(np.uint8)
-            return arr.astype(np.float32)
-
-        staged, meta = G.resize_with_padding_np(
-            image.astype(np.float32), t, method="linear", antialias=True
+        inputs, meta = stage_request(
+            image, entry, prompt_mask,
+            getattr(self.engine, "fast_transfer", False),
         )
-        inputs = [pack(staged)]
-        if entry.needs_prompt:
-            pm = (
-                prompt_mask
-                if prompt_mask is not None
-                else np.zeros(image.shape[:2], np.float32)
-            )
-            pm_staged, _ = G.resize_with_padding_np(
-                pm[..., None].astype(np.float32), t, method="linear",
-                antialias=True,
-            )
-            inputs.append(pack(pm_staged))
 
-        pending = _Pending(tuple(inputs))
+        pending = _Pending(inputs)
         with self._cv:
+            if self._closed:
+                raise RuntimeError("BatchingEngine is closed")
             self._queues[model_name].append(pending)
             self._cv.notify_all()
         if not pending.event.wait(timeout):
@@ -188,15 +200,7 @@ class BatchingEngine:
         if pending.error is not None:
             raise pending.error
 
-        restored = G.invert_resize_padding_np(
-            pending.scores, meta, method="linear"
-        )
-        mask = restored.argmax(axis=-1).astype(np.uint8)
-        return {
-            "mask": mask,
-            "color_mask": colorize_mask(mask, COLOR_MAP),
-            "class_names": list(entry.class_names),
-        }
+        return unstage_result(pending.scores, meta, entry)
 
     def close(self):
         with self._cv:

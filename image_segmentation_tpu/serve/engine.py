@@ -24,6 +24,57 @@ SEG_CLASS_NAMES = ("background", "cat", "dog", "boundary")
 PROMPT_CLASS_NAMES = ("deactivated", "background", "cat", "dog")
 
 
+def _pack_transfer(arr: np.ndarray, fast_transfer: bool) -> np.ndarray:
+    """Transfer packing for a [0,1] float staging array (uint8 when
+    fast_transfer — the input is 8-bit at the source)."""
+    if fast_transfer:
+        return np.clip(np.round(arr * 255.0), 0, 255).astype(np.uint8)
+    return arr.astype(np.float32)
+
+
+def stage_request(image, entry, prompt_mask, fast_transfer: bool):
+    """Host-side staging shared by InferenceEngine and BatchingEngine:
+    resize+pad the image (and the prompt heatmap, defaulting to zeros
+    for prompt models given none) to the model's target size and pack
+    for transfer. Returns (inputs tuple of (T, T, C) arrays, meta)."""
+    t = entry.target_size
+    staged, meta = G.resize_with_padding_np(
+        image.astype(np.float32), t, method="linear", antialias=True
+    )
+    inputs = [_pack_transfer(staged, fast_transfer)]
+    if entry.needs_prompt:
+        pm = (
+            prompt_mask
+            if prompt_mask is not None
+            else np.zeros(image.shape[:2], np.float32)
+        )
+        pm_staged, _ = G.resize_with_padding_np(
+            pm[..., None].astype(np.float32), t, method="linear",
+            antialias=True,
+        )
+        inputs.append(_pack_transfer(pm_staged, fast_transfer))
+    return tuple(inputs), meta
+
+
+def unstage_result(scores: np.ndarray, meta, entry) -> dict:
+    """Shared un-staging: validate the score shape, inverse geometry back
+    to the original resolution, argmax, colourise (reference
+    app.py:291-326)."""
+    t = entry.target_size
+    if scores.shape[:2] != (t, t):
+        raise ValueError(
+            f"model {entry.name!r} emitted {scores.shape[:2]} scores for "
+            f"target_size {t} — registration mismatch"
+        )
+    restored = G.invert_resize_padding_np(scores, meta, method="linear")
+    mask = restored.argmax(axis=-1).astype(np.uint8)
+    return {
+        "mask": mask,
+        "color_mask": colorize_mask(mask, COLOR_MAP),
+        "class_names": list(entry.class_names),
+    }
+
+
 @dataclasses.dataclass
 class ModelEntry:
     name: str
@@ -134,39 +185,9 @@ class InferenceEngine:
                 f"unknown model {model_name!r}; available: {self.available()}"
             )
         entry = self.models[model_name]
-        t = entry.target_size
-
-        def pack(arr):
-            if self.fast_transfer:
-                return jnp.asarray(
-                    np.clip(np.round(arr * 255.0), 0, 255).astype(np.uint8)
-                )
-            return jnp.asarray(arr.astype(np.float32))
-
-        staged, meta = G.resize_with_padding_np(
-            image.astype(np.float32), t, method="linear", antialias=True
+        inputs, meta = stage_request(
+            image, entry, prompt_mask, self.fast_transfer
         )
-        inputs = [pack(staged[None])]
-        if entry.needs_prompt:
-            pm = (
-                prompt_mask
-                if prompt_mask is not None
-                else np.zeros(image.shape[:2], np.float32)
-            )
-            pm_staged, _ = G.resize_with_padding_np(
-                pm[..., None].astype(np.float32), t, method="linear", antialias=True
-            )
-            inputs.append(pack(pm_staged[None]))
-        scores = np.asarray(entry.forward(*inputs), dtype=np.float32)[0]
-        if scores.shape[:2] != (t, t):
-            raise ValueError(
-                f"model {model_name!r} emitted {scores.shape[:2]} scores for "
-                f"target_size {t} — registration mismatch"
-            )
-        restored = G.invert_resize_padding_np(scores, meta, method="linear")
-        mask = restored.argmax(axis=-1).astype(np.uint8)
-        return {
-            "mask": mask,
-            "color_mask": colorize_mask(mask, COLOR_MAP),
-            "class_names": list(entry.class_names),
-        }
+        dev_inputs = [jnp.asarray(x[None]) for x in inputs]
+        scores = np.asarray(entry.forward(*dev_inputs), dtype=np.float32)[0]
+        return unstage_result(scores, meta, entry)

@@ -48,10 +48,17 @@ def render_points(
 def render_bbox(bbox: Dict, size: Tuple[int, int]) -> np.ndarray:
     """bbox: {'x','y','width','height'} in original-image pixels."""
     mask = np.zeros(size, np.float32)
-    x0 = max(0, int(round(bbox["x"])))
-    y0 = max(0, int(round(bbox["y"])))
-    x1 = min(size[1], x0 + max(0, int(round(bbox["width"]))))
-    y1 = min(size[0], y0 + max(0, int(round(bbox["height"]))))
+    # extent from the RAW origin, then clip both edges — clamping the
+    # origin first would shift (and enlarge) a box that starts off-canvas
+    # instead of clipping it (reference PIL draw.rectangle clips)
+    x0r = int(round(bbox["x"]))
+    y0r = int(round(bbox["y"]))
+    # clamp BOTH edges into [0, size]: a negative end index would wrap
+    # around as a Python slice
+    x1 = max(0, min(size[1], x0r + max(0, int(round(bbox["width"])))))
+    y1 = max(0, min(size[0], y0r + max(0, int(round(bbox["height"])))))
+    x0 = max(0, x0r)
+    y0 = max(0, y0r)
     mask[y0:y1, x0:x1] = 1.0
     return mask
 

@@ -81,6 +81,12 @@ def encode_clip_features(
         out.append(feats[:count])
         if verbose:
             print(f"  encoded {min(start + batch_size, n)}/{n}")
+    if not out:  # empty split: shape-correct empty feature array
+        probe = np.asarray(
+            forward(encoder_params, jnp.asarray(np.zeros((1,) + images.shape[1:],
+                                                         images.dtype)))
+        )
+        return np.zeros((0,) + probe.shape[1:], probe.dtype)
     return np.concatenate(out, axis=0)
 
 

@@ -199,6 +199,23 @@ class TestDeviceAugmenters:
             assert set(np.unique(np.asarray(a_lab))).issubset({0, 1, 2, 3}), name
             assert np.isfinite(np.asarray(a_img)).all(), name
 
+    def test_random_square_crop_never_samples_past_edge(self):
+        """The crop offset is bounded by (size-1)*(1-s): output edge
+        pixels must never sample the zero fill outside the image (the
+        old size*(1-s) bound zeroed the label's last row/column when the
+        window abutted the edge)."""
+        import jax
+
+        from image_segmentation_tpu.ops.augment import random_square_crop
+
+        size = 32
+        img = jnp.ones((size, size, 3), jnp.float32)
+        lab = jnp.full((size, size), 2, jnp.int32)
+        for seed in range(24):
+            ai, al = random_square_crop(img, lab, jax.random.PRNGKey(seed))
+            assert int(jnp.min(al)) == 2, f"label zero-filled (seed {seed})"
+            assert float(jnp.min(ai)) > 0.5, f"image edge darkened (seed {seed})"
+
     def test_random_augment_batch_jits_and_varies(self):
         rng = np.random.default_rng(0)
         images = jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 3)), jnp.float32)

@@ -122,3 +122,14 @@ def test_state_dict_roundtrip():
     agg2.load_state_dict(d)
     np.testing.assert_array_equal(agg.confusion, agg2.confusion)
     assert agg2.get_mean_dice_history() == agg.get_mean_dice_history()
+    # the last-per-class getters answer after a restore (reference's
+    # pickled MetricsHistory kept them implicitly)
+    np.testing.assert_array_equal(
+        agg2.get_last_per_class_dice(), agg.get_last_per_class_dice()
+    )
+    np.testing.assert_array_equal(
+        agg2.get_last_per_class_iou(), agg.get_last_per_class_iou()
+    )
+    np.testing.assert_array_equal(
+        agg2.get_last_per_class_acc(), agg.get_last_per_class_acc()
+    )

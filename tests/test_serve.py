@@ -58,6 +58,19 @@ class TestRender:
         assert m[25, 45] == 0.0
         assert m[19, 20] == 0.0
 
+    def test_bbox_negative_origin_clips_not_shifts(self):
+        """A box starting off-canvas is CLIPPED (PIL rectangle
+        semantics), not translated to the edge with its full width."""
+        m = render_bbox({"x": -10, "y": 5, "width": 20, "height": 10},
+                        (100, 100))
+        assert m[10, 5] == 1.0   # visible part [0, 10)
+        assert m[10, 9] == 1.0
+        assert m[10, 10] == 0.0  # NOT extended to x=20 by the clamp
+        # fully off-canvas: empty mask
+        m2 = render_bbox({"x": -50, "y": -50, "width": 20, "height": 20},
+                         (100, 100))
+        assert m2.sum() == 0
+
     def test_scribble_threshold(self):
         s = np.zeros((64, 64), np.uint8)
         s[5:10, 5:10] = 200
@@ -199,6 +212,48 @@ class TestBatchingEngine:
             )
             out = be.segment(img, "clip")
             assert out["mask"].shape == (30, 40)
+        finally:
+            be.close()
+
+    def test_segment_after_close_raises(self, engine):
+        from image_segmentation_tpu.serve.batching import BatchingEngine
+
+        be = BatchingEngine(engine, max_batch=4)
+        be.close()
+        img = np.zeros((16, 16, 3), np.float32)
+        with pytest.raises(RuntimeError, match="closed"):
+            be.segment(img, "unet")
+        be.close()  # idempotent
+
+    def test_two_models_both_served(self, engine):
+        """Round-robin: concurrent requests to two models both complete
+        (the old first-non-empty-queue pick could starve the second)."""
+        import threading
+
+        from image_segmentation_tpu.serve.batching import BatchingEngine
+
+        be = BatchingEngine(engine, max_batch=2, max_wait_ms=2)
+        try:
+            rng = np.random.default_rng(2)
+            imgs = [rng.uniform(0, 1, (24, 24, 3)).astype(np.float32)
+                    for _ in range(8)]
+            results = {}
+
+            def run(i, name):
+                results[(i, name)] = be.segment(imgs[i], name,
+                                                timeout=30)["mask"]
+
+            threads = [
+                threading.Thread(target=run, args=(i, name))
+                for i in range(4) for name in ("unet", "clip")
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert len(results) == 8
+            for (i, name), mask in results.items():
+                assert mask.shape == (24, 24)
         finally:
             be.close()
 
