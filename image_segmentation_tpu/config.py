@@ -140,6 +140,7 @@ def build_model(cfg: ExperimentConfig, on_tpu: bool = True):
         )
     if cfg.model == "prompt":
         return PromptModel(
+            num_classes=cfg.num_classes,
             freeze_clip=cfg.freeze_encoder, dtype=dtype,
             use_pallas_attention=pallas,
         )

@@ -84,6 +84,39 @@ class ClipDecoderBlockNoSkip(nn.Module):
         return x
 
 
+def _apply_decoder(num_classes, decoder_channels, dtype, bottleneck, skips,
+                   train):
+    """Shared decoder assembly: 1×1 init_conv → dec_i blocks → 1×1 head.
+
+    `skips=None` builds the no-skip variant. Called from inside each
+    module's @nn.compact so the explicit names (init_conv / dec_i / head)
+    land in the caller's scope — ClipUNet, ClipUNetDecoderOnly and
+    ClipUNetNoSkips share this one definition, so the verbatim
+    params-transfer contract between them cannot drift."""
+    ch = list(decoder_channels)
+    y = nn.Conv(
+        ch[0], (1, 1), dtype=dtype, kernel_init=conv_kernel_init,
+        name="init_conv",
+    )(bottleneck)
+    if skips is None:
+        for i in range(len(ch) - 1):
+            y = ClipDecoderBlockNoSkip(
+                ch[i], ch[i + 1], dtype, name=f"dec_{i}"
+            )(y, train)
+    else:
+        # deepest-first: reversed(skips) (reference clip/clipunet.py:141);
+        # zip truncates like the reference's zip(blocks, reversed(skips))
+        for i, skip in zip(range(len(ch) - 1), reversed(skips)):
+            y = ClipDecoderBlock(ch[i], ch[i + 1], dtype, name=f"dec_{i}")(
+                y, skip, train
+            )
+    logits = nn.Conv(
+        num_classes, (1, 1), dtype=dtype, kernel_init=conv_kernel_init,
+        name="head",
+    )(y)
+    return logits.astype(jnp.float32)
+
+
 class ClipUNet(nn.Module):
     """Reference clip/clipunet.py:147-188."""
 
@@ -109,22 +142,10 @@ class ClipUNet(nn.Module):
             bottleneck = jax.lax.stop_gradient(bottleneck)
             skips = [jax.lax.stop_gradient(s) for s in skips]
 
-        ch = list(self.decoder_channels)
-        y = nn.Conv(
-            ch[0], (1, 1), dtype=self.dtype, kernel_init=conv_kernel_init,
-            name="init_conv",
-        )(bottleneck)
-        # deepest-first: reversed(skips) (reference clip/clipunet.py:141);
-        # zip truncates like the reference's zip(blocks, reversed(skips))
-        for i, skip in zip(range(len(ch) - 1), reversed(skips)):
-            y = ClipDecoderBlock(ch[i], ch[i + 1], self.dtype, name=f"dec_{i}")(
-                y, skip, train
-            )
-        logits = nn.Conv(
-            self.num_classes, (1, 1), dtype=self.dtype,
-            kernel_init=conv_kernel_init, name="head",
-        )(y)
-        return logits.astype(jnp.float32)
+        return _apply_decoder(
+            self.num_classes, self.decoder_channels, self.dtype,
+            bottleneck, skips, train,
+        )
 
 
 class ClipUNetDecoderOnly(nn.Module):
@@ -151,22 +172,13 @@ class ClipUNetDecoderOnly(nn.Module):
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
-        bottleneck = feats[:, 0]
-        skips = [feats[:, 1 + i] for i in range(self.num_skips)]
-        ch = list(self.decoder_channels)
-        y = nn.Conv(
-            ch[0], (1, 1), dtype=self.dtype, kernel_init=conv_kernel_init,
-            name="init_conv",
-        )(bottleneck.astype(self.dtype))
-        for i, skip in zip(range(len(ch) - 1), reversed(skips)):
-            y = ClipDecoderBlock(ch[i], ch[i + 1], self.dtype, name=f"dec_{i}")(
-                y, skip.astype(self.dtype), train
-            )
-        logits = nn.Conv(
-            self.num_classes, (1, 1), dtype=self.dtype,
-            kernel_init=conv_kernel_init, name="head",
-        )(y)
-        return logits.astype(jnp.float32)
+        bottleneck = feats[:, 0].astype(self.dtype)
+        skips = [feats[:, 1 + i].astype(self.dtype)
+                 for i in range(self.num_skips)]
+        return _apply_decoder(
+            self.num_classes, self.decoder_channels, self.dtype,
+            bottleneck, skips, train,
+        )
 
 
 class ClipUNetNoSkips(nn.Module):
@@ -189,17 +201,7 @@ class ClipUNetNoSkips(nn.Module):
         if self.freeze_encoder:
             bottleneck = jax.lax.stop_gradient(bottleneck)
 
-        ch = list(self.decoder_channels)
-        y = nn.Conv(
-            ch[0], (1, 1), dtype=self.dtype, kernel_init=conv_kernel_init,
-            name="init_conv",
-        )(bottleneck)
-        for i in range(len(ch) - 1):
-            y = ClipDecoderBlockNoSkip(
-                ch[i], ch[i + 1], self.dtype, name=f"dec_{i}"
-            )(y, train)
-        logits = nn.Conv(
-            self.num_classes, (1, 1), dtype=self.dtype,
-            kernel_init=conv_kernel_init, name="head",
-        )(y)
-        return logits.astype(jnp.float32)
+        return _apply_decoder(
+            self.num_classes, self.decoder_channels, self.dtype,
+            bottleneck, None, train,
+        )

@@ -4,8 +4,8 @@
 Composite of two branches:
   * a ClipUNet whose softmax gives 4-class probabilities (frozen by
     default; the fine-tuning variant — which the report found better —
-    leaves it trainable, reference segmentation_webapp/prompt_model.py
-    101-102);
+    trains its DECODER while the inner ViT stays frozen, reference
+    segmentation_webapp/prompt_model.py:101-102 + clip/clipunet.py:28-30);
   * a "selection network" U-Net over concat(image, heatmap) (4→1
     channels) whose sigmoid gives a point-selection mask.
 
@@ -43,21 +43,27 @@ class PromptModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, heatmap, train: bool = False):
-        # freeze_clip=True: the whole branch is frozen (stop_gradient below).
-        # freeze_clip=False is the reference's fine-tuned-CLIP variant
-        # (segmentation_webapp/prompt_model.py:101-102) where ALL clip params
-        # — ViT included — train, so the inner encoder must not
-        # stop-gradient either.
+        # freeze_clip=True: the whole branch is frozen (stop_gradient
+        # below). freeze_clip=False is the reference's "fine-tuned"
+        # variant (segmentation_webapp/prompt_model.py:101-102, the
+        # branch-level requires_grad freeze commented out): the ClipUNet
+        # DECODER trains, but the inner ViT stays frozen either way —
+        # the reference's ClipViTEncoder freezes itself by default
+        # (clip/clipunet.py:28-30) and no reference code ever unfreezes
+        # it. The clip branch runs with the caller's `train` flag in both
+        # variants: torch's frozen module still runs BatchNorm in
+        # batch-stats mode and updates running stats during training
+        # (requires_grad only stops parameter gradients).
         clip_logits = ClipUNet(
             num_classes=self.num_classes,
             decoder_channels=self.decoder_channels,
             skip_indices=self.skip_indices,
-            freeze_encoder=self.freeze_clip,
+            freeze_encoder=True,
             vit=self.vit,
             dtype=self.dtype,
             use_pallas_attention=self.use_pallas_attention,
             name="clip",
-        )(x, train=train and not self.freeze_clip)
+        )(x, train=train)
         if self.freeze_clip:
             clip_logits = jax.lax.stop_gradient(clip_logits)
         clip_prob = nn.softmax(clip_logits.astype(jnp.float32), axis=-1)

@@ -318,9 +318,11 @@ def main(argv=None):
     if cfg.model == "prompt" and cfg.freeze_encoder:
         frozen.append("clip")
     if cfg.model == "prompt" and not cfg.freeze_encoder:
-        # fine-tuned-CLIP variant: the decoder+ViT train, but nothing is
-        # stop-gradient'ed, so no mask needed
-        pass
+        # fine-tuned variant: the clip DECODER + mask U-Net train, but
+        # the inner ViT stays frozen (reference clip/clipunet.py:28-30
+        # default, never unfrozen) — mask it so AdamW weight decay
+        # can't shrink the stop-gradient'ed encoder
+        frozen.append("clip/encoder")
     mask = subtree_mask(params, tuple(frozen)) if frozen else None
     # decay horizon in optimizer steps (one per effective batch)
     total_steps = cfg.epochs * max(

@@ -272,3 +272,61 @@ class TestPromptModel:
         )
         assert clip_norm == 0.0
         assert mask_norm > 0.0
+
+    def test_finetune_variant_trains_decoder_not_vit(self):
+        """freeze_clip=False (the reference's fine-tuned prompt,
+        segmentation_webapp/prompt_model.py:101-102): gradients flow into
+        the clip DECODER, but the inner ViT stays frozen — the
+        reference's ClipViTEncoder freezes itself by default
+        (clip/clipunet.py:28-30) and is never unfrozen."""
+        model = PromptModel(vit=SMALL, unet_base=4, skip_indices=(0, 1, 2, 3),
+                            decoder_channels=(32, 16, 8, 8, 8),
+                            freeze_clip=False)
+        x = jnp.ones((1, 32, 32, 3))
+        hm = jnp.zeros((1, 32, 32, 1))
+        variables = model.init(jax.random.PRNGKey(0), x, hm)
+
+        def loss(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, hm, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out**2)
+
+        g = jax.grad(loss)(variables["params"])
+        enc_norm = sum(
+            float(jnp.abs(l).sum())
+            for l in jax.tree_util.tree_leaves(g["clip"]["encoder"])
+        )
+        dec_norm = sum(
+            float(jnp.abs(l).sum())
+            for k, sub in g["clip"].items() if k != "encoder"
+            for l in jax.tree_util.tree_leaves(sub)
+        )
+        assert enc_norm == 0.0
+        assert dec_norm > 0.0
+
+    def test_frozen_clip_bn_uses_batch_stats_in_train(self):
+        """torch's frozen clip branch still runs BN in batch-stats mode
+        during training (requires_grad only stops parameter gradients):
+        the clip running statistics must UPDATE across a train-mode
+        apply even with freeze_clip=True."""
+        model = PromptModel(vit=SMALL, unet_base=4, skip_indices=(0, 1, 2, 3),
+                            decoder_channels=(32, 16, 8, 8, 8),
+                            freeze_clip=True)
+        x = jnp.asarray(
+            np.random.default_rng(1).uniform(0, 1, (2, 32, 32, 3)),
+            jnp.float32,
+        )
+        hm = jnp.zeros((2, 32, 32, 1))
+        variables = model.init(jax.random.PRNGKey(0), x, hm)
+        _, mut = model.apply(
+            variables, x, hm, train=True, mutable=["batch_stats"]
+        )
+        before = jax.tree_util.tree_leaves(variables["batch_stats"]["clip"])
+        after = jax.tree_util.tree_leaves(mut["batch_stats"]["clip"])
+        changed = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(before, after)
+        )
+        assert changed, "frozen clip BN running stats did not update"
