@@ -36,6 +36,23 @@ def _decode_image(path: str) -> np.ndarray:
     return arr
 
 
+def normalize_image_channels(arr: np.ndarray) -> np.ndarray:
+    """(H, W[, C]) → (H, W, 3): drop alpha (RGBA), drop alpha then
+    replicate gray (LA), replicate gray (L). THE single definition of
+    the image channel rules (reference utils/utils.py:92-93) — shared by
+    the file datasets, the native-pipeline fallback and serving upload
+    decode so they cannot diverge."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.shape[2] == 4:
+        arr = arr[:, :, :3]
+    if arr.shape[2] == 2:
+        arr = arr[:, :, :1]
+    if arr.shape[2] == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return arr
+
+
 def list_stems(directory: str) -> List[str]:
     """Sorted extension-less file stems (reference utils/dataset.py:20)."""
     return sorted(os.path.splitext(f)[0] for f in os.listdir(directory))
@@ -68,13 +85,7 @@ class SegmentationDataset:
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         stem = self.stems[idx]
         img = _decode_image(os.path.join(self.img_dir, stem + self.img_ext))
-        img = img.astype(np.float32) / 255.0
-        if img.shape[2] == 4:  # drop alpha (reference utils/utils.py:92-93)
-            img = img[:, :, :3]
-        if img.shape[2] == 2:  # gray+alpha: drop alpha, replicate gray
-            img = img[:, :, :1]
-        if img.shape[2] == 1:
-            img = np.repeat(img, 3, axis=2)
+        img = normalize_image_channels(img).astype(np.float32) / 255.0
         label = _decode_image(os.path.join(self.label_dir, stem + self.label_ext))
         label = label[:, :, 0].astype(np.int32)
         if self.transform:
@@ -109,9 +120,7 @@ class PromptDataset:
     def __getitem__(self, idx: int):
         stem = self.stems[idx]
         img = _decode_image(os.path.join(self.img_dir, stem + ".jpg"))
-        img = img.astype(np.float32) / 255.0
-        if img.shape[2] == 4:
-            img = img[:, :, :3]
+        img = normalize_image_channels(img).astype(np.float32) / 255.0
         heatmap = _decode_image(os.path.join(self.heatmap_dir, stem + ".png"))
         heatmap = heatmap[:, :, :1].astype(np.float32) / 255.0
         label = _decode_image(os.path.join(self.label_dir, stem + ".png"))

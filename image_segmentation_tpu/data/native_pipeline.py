@@ -57,13 +57,9 @@ def _default_workers() -> int:
 
 def _fallback_item(img_path, label_path, heatmap_path, target, antialias):
     """PIL + numpy geometry for one item (native decode declined it)."""
-    img = D._decode_image(img_path).astype(np.float32) / 255.0
-    if img.shape[2] == 4:
-        img = img[:, :, :3]
-    if img.shape[2] == 2:  # gray+alpha: drop alpha, replicate gray
-        img = img[:, :, :1]
-    if img.shape[2] == 1:
-        img = np.repeat(img, 3, axis=2)
+    img = D.normalize_image_channels(
+        D._decode_image(img_path)
+    ).astype(np.float32) / 255.0
     out, meta = G.resize_with_padding_np(
         img, target, method="linear", antialias=antialias
     )

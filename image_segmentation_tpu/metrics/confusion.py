@@ -71,18 +71,27 @@ def counts_from_confusion(conf: np.ndarray):
 
 def metrics_from_counts(tp, fp, fn, tn, mask: Optional[np.ndarray] = None):
     """Per-class + macro Dice/IoU/Acc with the reference's formulas
-    (utils/MetricsHistory.py:106-113). Division is unguarded like the
-    reference — empty classes yield nan, which numpy propagates the same
-    way torch does."""
+    (utils/MetricsHistory.py:106-113). Per-class division is unguarded
+    like the reference — a class absent from both pred and GT yields nan.
+    The MACRO means average over the classes actually present (nanmean):
+    one empty class would otherwise poison the mean to nan for the whole
+    run and permanently block best-mIoU checkpointing. On any val set
+    where every non-ignored class appears (the real Pet splits) this is
+    numerically identical to the reference's plain mean."""
     with np.errstate(divide="ignore", invalid="ignore"):
         per_class_iou = tp / (tp + fp + fn)
         per_class_dice = (2 * tp) / (2 * tp + fp + fn)
         per_class_acc = (tp + tn) / (tp + tn + fp + fn)
     if mask is None:
         mask = np.ones_like(tp, dtype=bool)
-    mean_iou = float(per_class_iou[mask].mean())
-    mean_dice = float(per_class_dice[mask].mean())
-    mean_acc = float(per_class_acc[mask].mean())
+    def _present_mean(a):
+        v = a[mask]
+        v = v[np.isfinite(v)]
+        return float(v.mean()) if v.size else float("nan")
+
+    mean_iou = _present_mean(per_class_iou)
+    mean_dice = _present_mean(per_class_dice)
+    mean_acc = _present_mean(per_class_acc)
     return {
         "per_class_iou": per_class_iou,
         "per_class_dice": per_class_dice,

@@ -433,17 +433,21 @@ def main(argv=None):
     step_batch = micro * accum
     device_cap = args.max_devices or jax.device_count()
     if min(jax.device_count(), device_cap) > 1:
-        # shard over the largest device count that divides the batch
+        # shard over the largest device count that divides the MICRObatch
+        # (not the accumulated step batch): the step body reshapes the
+        # sharded batch into accum microbatches of `micro`, so a mesh
+        # that only divides micro*accum forces GSPMD resharding on every
+        # scan step
         n_dev = max(
             k
             for k in range(1, min(jax.device_count(), device_cap) + 1)
-            if step_batch % k == 0
+            if micro % k == 0
         )
         if n_dev > 1:
             mesh = get_mesh(jax.devices()[:n_dev])
             print(f"[run] data-parallel over {n_dev} devices")
         else:
-            print("[run] batch not divisible by any device count; "
+            print("[run] microbatch not divisible by any device count; "
                   "running single-device")
     with trace_context(args.profile_dir):
         result = fit(

@@ -64,14 +64,9 @@ def _decode_upload(raw: bytes) -> np.ndarray:
 def decode_base64_image(data: str) -> np.ndarray:
     """b64 (optionally data-URL) → (H, W, 3) float32 [0,1], alpha dropped
     (reference app.py:97-114)."""
-    arr = _decode_upload(_strip_data_url(data))
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    if arr.shape[2] == 2:  # gray+alpha: drop alpha, replicate gray
-        arr = arr[:, :, :1]
-    if arr.shape[2] == 1:
-        arr = np.repeat(arr, 3, axis=2)
-    arr = arr[:, :, :3]
+    from image_segmentation_tpu.data.dataset import normalize_image_channels
+
+    arr = normalize_image_channels(_decode_upload(_strip_data_url(data)))
     return arr.astype(np.float32) / 255.0
 
 
@@ -169,11 +164,28 @@ def build_engine_from_checkpoints(models_dir: str, mesh=None) -> InferenceEngine
             (jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 224, 224, 1))),
         ),
     }
+    # per family: the serving alias itself plus every training config
+    # name that writes an MO_{cfg.name} artifact (config.py CONFIGS) —
+    # the documented train-then-serve flow uses the config names
+    candidates = {
+        "unet": ("MO_unet", "MO_unet_aug", "MO_unet_noaug"),
+        "autoencoder": ("MO_autoencoder",),
+        "clip": ("MO_clip", "MO_clipunet", "MO_clipunet_noskips"),
+        "prompt_model": ("MO_prompt_model", "MO_prompt"),
+    }
     eng = InferenceEngine(mesh=mesh)
     for name, (model, tsize, needs_prompt, sample) in specs.items():
-        path = os.path.join(models_dir, f"MO_{name}")
-        if not os.path.isdir(path):
-            print(f"[serve] no checkpoint for {name} at {path}; skipping")
+        path = next(
+            (
+                os.path.join(models_dir, c)
+                for c in candidates[name]
+                if os.path.isdir(os.path.join(models_dir, c))
+            ),
+            None,
+        )
+        if path is None:
+            print(f"[serve] no checkpoint for {name} in {models_dir} "
+                  f"(tried {', '.join(candidates[name])}); skipping")
             continue
         variables = model.init(jax.random.PRNGKey(0), *sample, train=False)
         # the artifact carries trained BN running stats (batch_stats);
@@ -208,8 +220,16 @@ def handle_segment(engine: InferenceEngine, payload: dict) -> dict:
         ptype = payload.get("prompt_type", "points")
         pdata = payload.get("prompt_data")
         if ptype == "scribble" and isinstance(pdata, str):
-            pdata = decode_base64_gray(pdata)
-        prompt_mask = create_prompt_mask(ptype, pdata, image.shape[:2])
+            try:
+                pdata = decode_base64_gray(pdata)
+            except Exception as e:
+                return {"error": f"could not decode scribble: {e}"}
+        try:
+            prompt_mask = create_prompt_mask(ptype, pdata, image.shape[:2])
+        except (TypeError, KeyError, ValueError, IndexError) as e:
+            # malformed client input (missing bbox fields, wrong types) —
+            # a validation error, not a server fault
+            return {"error": f"invalid prompt_data for {ptype!r}: {e}"}
 
     result = engine.segment(image, model_name, prompt_mask)
     out = {

@@ -249,8 +249,6 @@ def evaluate(
     losses = []
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=4)
-
     def _one_image(out_i, meta, label):
         inv = G.invert_resize_padding_np(out_i, meta, method="linear")
         loss = host_loss_fn(inv, label) if host_loss_fn is not None else None
@@ -279,18 +277,20 @@ def evaluate(
 
     # Pipeline: dispatch batch k+1's device forward before fetching batch
     # k's scores, so device compute + host↔device transfer overlap the
-    # host-side inverse geometry / metric work.
-    pending = None
-    for inputs, _, metas, origs, count in eval_batches(val_data, batch_size):
-        out_dev = forward(state, *(jax.numpy.asarray(x) for x in inputs))
+    # host-side inverse geometry / metric work. The with-block shuts the
+    # pool down on every exit path (a host_loss_fn error previously
+    # leaked the workers).
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        pending = None
+        for inputs, _, metas, origs, count in eval_batches(val_data, batch_size):
+            out_dev = forward(state, *(jax.numpy.asarray(x) for x in inputs))
+            if pending is not None:
+                p_out, p_metas, p_origs, p_count = pending
+                _host_side(np.asarray(p_out), p_metas, p_origs, p_count)
+            pending = (out_dev, metas, origs, count)
         if pending is not None:
             p_out, p_metas, p_origs, p_count = pending
             _host_side(np.asarray(p_out), p_metas, p_origs, p_count)
-        pending = (out_dev, metas, origs, count)
-    if pending is not None:
-        p_out, p_metas, p_origs, p_count = pending
-        _host_side(np.asarray(p_out), p_metas, p_origs, p_count)
-    pool.shutdown()
     dice, iou, acc = agg.compute_epoch_metrics()
     val_loss = float(np.mean(losses)) if losses else float("nan")
     if verbose:
@@ -439,157 +439,176 @@ def fit(
             prev_handlers = {}
             break
 
-    if mesh is not None:
-        state = replicate(state, mesh)
+    try:
+        if mesh is not None:
+            state = replicate(state, mesh)
 
-    has_aux = train_data.has_heatmaps
-    if augment_fn is not None and has_aux:
-        # neither the epoch scan nor the streaming path augments
-        # heatmap triplets (the heatmap and its class-filtered target
-        # would need consistent spatial transforms) — fail loudly
-        # rather than silently training un-augmented
-        raise ValueError(
-            "augment_fn is not supported for prompt (heatmap) datasets; "
-            "generate augmented prompt triplets offline instead "
-            "(data.prompts.generate_prompt_dataset over an augmented "
-            "dataset, reference utils/augmentation.ipynb cell 23)"
-        )
-    # Single-chip datasets within the HBM budget train as ONE dispatch
-    # per epoch: data uploaded once, shuffle = an index permutation,
-    # lax.scan over on-device gathered batches with the state donated
-    # (train/steps.py make_train_epoch). Meshed or oversized runs keep
-    # the per-batch dispatch path.
-    cache_mb = float(os.environ.get("ISTPU_TRAIN_DEVICE_CACHE_MB", "4096"))
-    train_bytes = (
-        train_data.images.nbytes + train_data.labels.nbytes
-        + (train_data.heatmaps.nbytes if has_aux else 0)
-    )
-    use_device_epoch = train_bytes <= cache_mb * 2**20
-    if use_device_epoch:
-        from image_segmentation_tpu.train.steps import make_train_epoch
-
-        # under a mesh the dataset is sharded along 'data' (padded to
-        # the axis size; idx_mat never references the padding) — the
-        # shuffle's cross-shard gathers become XLA collectives over
-        # ICI instead of host feeds.
-        arrays = (train_data.images,) + (
-            (train_data.heatmaps,) if has_aux else ()
-        ) + (train_data.labels,)
-        dev_train = _get_device_train_cache(
-            train_data, "aux" if has_aux else "seg", arrays, mesh
-        )
-        train_epoch = make_train_epoch(
-            loss_fn, accum_steps=accum_steps, has_aux_input=has_aux,
-            augment_fn=augment_fn, mesh=mesh,
-        )
-    else:
-        train_step = make_train_step(loss_fn, accum_steps=accum_steps,
-                                     has_aux_input=has_aux)
-    forward = _default_eval_forward()  # shared: avoid per-fit recompiles
-    rng = np.random.default_rng(seed + start_epoch)
-    agg = MetricsHistory(num_classes, ignore_index=eval_ignore_index)
-
-    for epoch in range(start_epoch, epochs):
-        t0 = time.time()
-        if verbose:
-            print(f"Epoch {epoch + 1}/{epochs} [{name}]")
-        aug_key = jax.random.PRNGKey(seed * 100003 + epoch)
-        n = len(train_data)
-        nsteps = n // batch_size
-        if nsteps == 0:
+        has_aux = train_data.has_heatmaps
+        if augment_fn is not None and has_aux:
+            # neither the epoch scan nor the streaming path augments
+            # heatmap triplets (the heatmap and its class-filtered target
+            # would need consistent spatial transforms) — fail loudly
+            # rather than silently training un-augmented
             raise ValueError(
-                f"epoch produced zero training batches: dataset size "
-                f"{len(train_data)} < batch_size {batch_size} "
-                "(drop_last requires at least one full batch)"
+                "augment_fn is not supported for prompt (heatmap) datasets; "
+                "generate augmented prompt triplets offline instead "
+                "(data.prompts.generate_prompt_dataset over an augmented "
+                "dataset, reference utils/augmentation.ipynb cell 23)"
             )
+        # Single-chip datasets within the HBM budget train as ONE dispatch
+        # per epoch: data uploaded once, shuffle = an index permutation,
+        # lax.scan over on-device gathered batches with the state donated
+        # (train/steps.py make_train_epoch). Meshed or oversized runs keep
+        # the per-batch dispatch path.
+        cache_mb = float(os.environ.get("ISTPU_TRAIN_DEVICE_CACHE_MB", "4096"))
+        train_bytes = (
+            train_data.images.nbytes + train_data.labels.nbytes
+            + (train_data.heatmaps.nbytes if has_aux else 0)
+        )
+        use_device_epoch = train_bytes <= cache_mb * 2**20
         if use_device_epoch:
-            # same shuffle contract as data.loader.train_batches:
-            # permutation, drop_last
-            order = rng.permutation(n)[: nsteps * batch_size]
-            idx_mat = order.reshape(nsteps, batch_size).astype(np.int32)
-            state, losses = train_epoch(
-                state, dev_train, jnp.asarray(idx_mat), aug_key,
+            from image_segmentation_tpu.train.steps import make_train_epoch
+
+            # under a mesh the dataset is sharded along 'data' (padded to
+            # the axis size; idx_mat never references the padding) — the
+            # shuffle's cross-shard gathers become XLA collectives over
+            # ICI instead of host feeds.
+            arrays = (train_data.images,) + (
+                (train_data.heatmaps,) if has_aux else ()
+            ) + (train_data.labels,)
+            dev_train = _get_device_train_cache(
+                train_data, "aux" if has_aux else "seg", arrays, mesh
             )
-            train_loss = float(np.mean(np.asarray(losses)))
+            train_epoch = make_train_epoch(
+                loss_fn, accum_steps=accum_steps, has_aux_input=has_aux,
+                augment_fn=augment_fn, mesh=mesh,
+            )
         else:
-            losses = []
-            for batch in train_batches(train_data, batch_size, rng):
-                batch = tuple(jax.numpy.asarray(x) for x in batch)
-                if augment_fn is not None and len(batch) == 2:
-                    aug_key, k = jax.random.split(aug_key)
-                    batch = augment_fn(batch[0], batch[1], k)
-                if mesh is not None:
-                    batch = shard_batch(batch, mesh)
-                state, loss = train_step(state, batch)
-                losses.append(loss)
-            train_loss = float(np.mean([float(l) for l in losses]))
-        if verbose:
-            print(f"  train: loss={train_loss:.4f}")
+            train_step = make_train_step(loss_fn, accum_steps=accum_steps,
+                                         has_aux_input=has_aux)
+        forward = _default_eval_forward()  # shared: avoid per-fit recompiles
+        rng = np.random.default_rng(seed + start_epoch)
+        agg = MetricsHistory(num_classes, ignore_index=eval_ignore_index)
 
-        val = evaluate(
-            eval_state_fn(state) if eval_state_fn is not None else state,
-            val_data,
-            host_loss_fn=host_loss_fn,
-            num_classes=num_classes,
-            eval_ignore_index=eval_ignore_index,
-            batch_size=eval_batch_size or batch_size,
-            forward=forward,
-            agg=agg,
-            verbose=verbose,
-            protocol=eval_protocol,
-            loss_cfg=eval_loss_cfg,
-        )
-
-        history["train_loss"].append(train_loss)
-        history["val_loss"].append(val["loss"])
-        history["val_dice"].append(val["dice"])
-        history["val_iou"].append(val["iou"])
-        history["val_acc"].append(val["acc"])
-        history["val_per_class_iou"].append(val["per_class_iou"])
-        history["epoch_time_s"].append(time.time() - t0)
-        _save_history(save_dir, name, history)
-
-        # Saves are ASYNC and COALESCED: one device snapshot + one
-        # device→host fetch per saving epoch writes the best checkpoint,
-        # its weights-only copy, and the preemption '_last' copy together
-        # (the fetch is the expensive part — on a slow device link it can
-        # exceed the epoch's compute many times over). The '_last'
-        # cadence is `checkpoint_every`; best-metric epochs always save.
-        # wait_for_saves() below makes fit() return only after everything
-        # is durably on disk.
-        improved = val["iou"] > best["miou"]
-        if improved:
-            best = {"dice": val["dice"], "miou": val["iou"], "loss": val["loss"]}
-        last_due = (
-            (epoch + 1) % max(1, checkpoint_every) == 0
-            or epoch == epochs - 1
-            or stop_requested["flag"]
-        )
-        if improved:
-            ckpt.save_checkpoint_async(
-                ckpt_path, state, epoch=epoch, best=best, history=history,
-                notes=notes,
-                params_only_path=weights_path if save_weights_only_copy
-                else None,
-                extra_paths=(last_path,),
-                slot="best",  # only ever replaced by a strictly better one
-            )
+        for epoch in range(start_epoch, epochs):
+            t0 = time.time()
             if verbose:
-                print(f"  saved checkpoint (new best miou {val['iou']:.4f})")
-        elif last_due:
-            # '_last' checkpoint: preemption/crash recovery point; a
-            # superseded pending save is dropped (newer state replaces it)
-            ckpt.save_checkpoint_async(
-                last_path, state, epoch=epoch, best=best, history=history,
-                notes=notes, slot="last",
-            )
-        if stop_requested["flag"]:
+                print(f"Epoch {epoch + 1}/{epochs} [{name}]")
+            aug_key = jax.random.PRNGKey(seed * 100003 + epoch)
+            n = len(train_data)
+            nsteps = n // batch_size
+            if nsteps == 0:
+                raise ValueError(
+                    f"epoch produced zero training batches: dataset size "
+                    f"{len(train_data)} < batch_size {batch_size} "
+                    "(drop_last requires at least one full batch)"
+                )
+            if use_device_epoch:
+                # same shuffle contract as data.loader.train_batches:
+                # permutation, drop_last
+                order = rng.permutation(n)[: nsteps * batch_size]
+                idx_mat = order.reshape(nsteps, batch_size).astype(np.int32)
+                state, losses = train_epoch(
+                    state, dev_train, jnp.asarray(idx_mat), aug_key,
+                )
+                train_loss = float(np.mean(np.asarray(losses)))
+            else:
+                losses = []
+                for batch in train_batches(train_data, batch_size, rng):
+                    batch = tuple(jax.numpy.asarray(x) for x in batch)
+                    if augment_fn is not None and len(batch) == 2:
+                        aug_key, k = jax.random.split(aug_key)
+                        batch = augment_fn(batch[0], batch[1], k)
+                    if mesh is not None:
+                        batch = shard_batch(batch, mesh)
+                    state, loss = train_step(state, batch)
+                    losses.append(loss)
+                train_loss = float(np.mean([float(l) for l in losses]))
             if verbose:
-                print(f"[fit] stopping after epoch {epoch + 1} on request")
-            break
+                print(f"  train: loss={train_loss:.4f}")
 
-    for sig, h in prev_handlers.items():
-        signal.signal(sig, h)
+            val = evaluate(
+                eval_state_fn(state) if eval_state_fn is not None else state,
+                val_data,
+                host_loss_fn=host_loss_fn,
+                num_classes=num_classes,
+                eval_ignore_index=eval_ignore_index,
+                batch_size=eval_batch_size or batch_size,
+                forward=forward,
+                agg=agg,
+                verbose=verbose,
+                protocol=eval_protocol,
+                loss_cfg=eval_loss_cfg,
+            )
+
+            history["train_loss"].append(train_loss)
+            history["val_loss"].append(val["loss"])
+            history["val_dice"].append(val["dice"])
+            history["val_iou"].append(val["iou"])
+            history["val_acc"].append(val["acc"])
+            history["val_per_class_iou"].append(val["per_class_iou"])
+            history["epoch_time_s"].append(time.time() - t0)
+            _save_history(save_dir, name, history)
+
+            # Saves are ASYNC and COALESCED: one device snapshot + one
+            # device→host fetch per saving epoch writes the best checkpoint,
+            # its weights-only copy, and the preemption '_last' copy together
+            # (the fetch is the expensive part — on a slow device link it can
+            # exceed the epoch's compute many times over). The '_last'
+            # cadence is `checkpoint_every`; best-metric epochs always save.
+            # wait_for_saves() below makes fit() return only after everything
+            # is durably on disk.
+            if np.isnan(val["iou"]):
+                # fully degenerate val metrics (no valid class present
+                # at all): fall back to val loss so the run still
+                # checkpoints instead of never saving a best artifact
+                improved = val["loss"] < best["loss"]
+            else:
+                improved = val["iou"] > best["miou"]
+            if improved:
+                best = {"dice": val["dice"], "miou": val["iou"], "loss": val["loss"]}
+            last_due = (
+                (epoch + 1) % max(1, checkpoint_every) == 0
+                or epoch == epochs - 1
+                or stop_requested["flag"]
+            )
+            if improved:
+                ckpt.save_checkpoint_async(
+                    ckpt_path, state, epoch=epoch, best=best, history=history,
+                    notes=notes,
+                    params_only_path=weights_path if save_weights_only_copy
+                    else None,
+                    extra_paths=(last_path,),
+                    slot="best",  # only ever replaced by a strictly better one
+                )
+                if verbose:
+                    print(f"  saved checkpoint (new best miou {val['iou']:.4f})")
+            elif last_due:
+                # '_last' checkpoint: preemption/crash recovery point; a
+                # superseded pending save is dropped (newer state replaces it)
+                ckpt.save_checkpoint_async(
+                    last_path, state, epoch=epoch, best=best, history=history,
+                    notes=notes, slot="last",
+                )
+            if stop_requested["flag"]:
+                if verbose:
+                    print(f"[fit] stopping after epoch {epoch + 1} on request")
+                break
+
+    except BaseException:
+        # surface queued async-save errors without masking the
+        # active exception, then restore handlers via finally
+        try:
+            ckpt.wait_for_saves()
+        except Exception as save_err:
+            print(f"[fit] async save also failed: {save_err!r}")
+        raise
+    finally:
+        # ALWAYS restore the previous signal handlers — leaving
+        # _request_stop installed after fit() dies makes the
+        # process uninterruptible (the dead flag swallows Ctrl-C)
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
     ckpt.wait_for_saves()
     return FitResult(state=state, history=history, best=best)
 

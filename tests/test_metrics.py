@@ -112,6 +112,21 @@ def test_reset_and_history():
     assert len(agg.get_mean_dice_history()) == 1
 
 
+def test_absent_class_does_not_poison_macro_means():
+    """A class absent from pred AND GT stays nan per-class (reference
+    parity) but the macro means average the classes actually present —
+    otherwise one empty class blocks best-mIoU checkpointing forever."""
+    agg = MetricsHistory(4, ignore_index=3)
+    label = np.zeros((8, 8), dtype=np.int64)
+    label[:4] = 1  # classes 0 and 1 present; class 2 absent
+    agg.accumulate(np.eye(4)[label], label)
+    dice, iou, acc = agg.compute_epoch_metrics()
+    per = agg.get_last_per_class_iou()
+    assert np.isnan(per[2])           # reference per-class semantics
+    assert np.isfinite(iou) and iou == 1.0   # classes 0,1 perfect
+    assert np.isfinite(dice) and np.isfinite(acc)
+
+
 def test_state_dict_roundtrip():
     agg = MetricsHistory(4, ignore_index=3)
     label = np.zeros((4, 4), dtype=np.int64)

@@ -215,6 +215,41 @@ class TestBatchingEngine:
         finally:
             be.close()
 
+    def test_prompt_without_data_is_client_error(self, engine):
+        """Malformed prompt payloads are validation errors, not 500s."""
+        from image_segmentation_tpu.serve.app import handle_segment
+
+        out = handle_segment(engine, {
+            "image": _b64_image(16, 16),
+            "model": "prompt_model",
+            "prompt_type": "bbox",  # no prompt_data
+        })
+        assert "error" in out and "prompt_data" in out["error"]
+
+    def test_checkpoint_dir_accepts_config_names(self, tmp_path):
+        """The train-then-serve flow writes MO_{cfg.name} (MO_unet_noaug
+        etc.); build_engine_from_checkpoints must find those, not just
+        the serving aliases."""
+        import jax
+        import jax.numpy as jnp
+
+        from image_segmentation_tpu.models import UNet
+        from image_segmentation_tpu.serve.app import (
+            build_engine_from_checkpoints,
+        )
+        from image_segmentation_tpu.train.checkpoint import save_params_only
+
+        model = UNet(num_classes=4)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+        )
+        save_params_only(
+            str(tmp_path / "MO_unet_noaug"), variables["params"],
+            batch_stats=variables.get("batch_stats"),
+        )
+        eng = build_engine_from_checkpoints(str(tmp_path))
+        assert eng.available() == ["unet"]
+
     def test_segment_after_close_raises(self, engine):
         from image_segmentation_tpu.serve.batching import BatchingEngine
 
