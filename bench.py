@@ -35,6 +35,58 @@ import numpy as np
 MEASURED_ANCHOR_IMG_PER_SEC = 36.29
 
 
+def wait_for_backend() -> None:
+    """Wait (bounded) for a usable JAX backend before the main process
+    touches jax.
+
+    The axon TPU tunnel intermittently reports UNAVAILABLE for minutes
+    at a time (observed repeatedly on this host) and JAX caches a failed
+    plugin init for the life of the process — so probe in a SUBPROCESS
+    and only import jax here once a probe succeeds. If the backend never
+    comes up within the budget, fall through and let the real init raise
+    the same error it would have raised anyway.
+
+    Budget: ISTPU_BENCH_BACKEND_WAIT_S (default 600 s), probes every 30 s.
+    """
+    import os
+    import subprocess
+
+    budget = float(os.environ.get("ISTPU_BENCH_BACKEND_WAIT_S", "600"))
+    if budget <= 0:
+        return
+    probe = [
+        sys.executable,
+        "-c",
+        "import jax; jax.devices()",
+    ]
+    deadline = time.monotonic() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                probe, capture_output=True, timeout=max(60.0, budget / 4)
+            )
+            if r.returncode == 0:
+                return
+            err = (r.stderr or b"").decode(errors="replace").strip()
+        except subprocess.TimeoutExpired:
+            err = "probe timed out"
+        if time.monotonic() >= deadline:
+            print(
+                f"bench: backend still unavailable after {attempt} probes "
+                f"({budget:.0f}s budget); proceeding anyway",
+                file=sys.stderr,
+            )
+            return
+        tail = err.splitlines()[-1] if err else "unknown error"
+        print(
+            f"bench: backend probe {attempt} failed ({tail}); retrying in 30s",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+
+
 def bench_serve(requests: int, concurrency: int) -> None:
     """Serving latency/throughput: single-stream p50 latency and the
     request rate under `concurrency` client threads through the
@@ -172,6 +224,8 @@ def main() -> None:
     p.add_argument("--concurrency", type=int, default=16,
                    help="serve mode: concurrent client threads")
     args = p.parse_args()
+
+    wait_for_backend()
 
     if args.serve:
         bench_serve(args.requests, args.concurrency)
