@@ -1,0 +1,205 @@
+"""Offline batch prediction CLI: segment a directory (or single file) of
+images with a trained or demo model registry and write class-id +
+colorized masks.
+
+The reference's only inference surface outside the notebooks is the
+interactive webapp (reference segmentation_webapp/app.py:220-326 —
+one image per HTTP request). This CLI exposes the same pipeline —
+resize+pad to the model's target size, jitted forward, inverse geometry
+at original resolution, argmax, colorize — as a batch tool, and can
+optionally score predictions against ground-truth labels with the
+reference's original-resolution metric protocol (utils/training.py:67-121:
+macro Dice/IoU/Acc over classes with the ignore class excluded).
+
+Usage:
+  python -m image_segmentation_tpu.predict --models-dir runs/models \
+      --model unet --input photos/ --output out/ [--labels labels/]
+  python -m image_segmentation_tpu.predict --demo --input photos/ --output out/
+  # prompt models: one point prompt applied to every image
+  python -m image_segmentation_tpu.predict --demo --model prompt_model \
+      --input photos/ --output out/ --point 120,80
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IMAGE_EXTS = (".jpg", ".jpeg", ".png")
+
+
+def list_inputs(path: str) -> List[str]:
+    """A single image file, or every image in a directory (sorted by
+    stem, the reference's dataset ordering — utils/dataset.py:20)."""
+    if os.path.isfile(path):
+        return [path]
+    if not os.path.isdir(path):
+        raise FileNotFoundError(path)
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.lower().endswith(IMAGE_EXTS)
+    ]
+    if not files:
+        raise FileNotFoundError(f"no {'/'.join(IMAGE_EXTS)} files in {path}")
+    return files
+
+
+def load_image(path: str) -> np.ndarray:
+    """(H, W, 3) float32 [0,1] with the shared channel rules (alpha
+    dropped, gray replicated) — identical to the training datasets."""
+    from image_segmentation_tpu.data.dataset import (
+        _decode_image,
+        normalize_image_channels,
+    )
+
+    return normalize_image_channels(_decode_image(path)).astype(np.float32) / 255.0
+
+
+def load_label(path: str) -> np.ndarray:
+    """(H, W) int32 class ids with the 255→boundary remap applied
+    (reference utils/dataset.py:131-138)."""
+    from image_segmentation_tpu.data.dataset import _decode_image
+    from image_segmentation_tpu.data.labels import target_remap
+
+    arr = _decode_image(path)[..., 0]
+    return target_remap(arr.astype(np.int32))
+
+
+def predict_paths(
+    engine,
+    model_name: str,
+    paths: Sequence[str],
+    output_dir: Optional[str] = None,
+    labels_dir: Optional[str] = None,
+    point: Optional[Tuple[int, int]] = None,
+    ignore_index: Optional[int] = 3,
+    verbose: bool = True,
+) -> Dict:
+    """Segment `paths` through `engine`'s `model_name`; write
+    `{stem}_mask.png` (class ids) and `{stem}_color.png` into
+    output_dir; if labels_dir holds `{stem}.png` ground truth, score
+    with the original-resolution protocol. Returns a summary dict."""
+    from image_segmentation_tpu.metrics.confusion import MetricsHistory
+    from image_segmentation_tpu.serve.render import create_prompt_mask
+
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("PIL is required for predict output") from e
+
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+    entry = engine.models[model_name]
+    num_classes = len(entry.class_names)
+    agg = MetricsHistory(num_classes=num_classes, ignore_index=ignore_index)
+    scored = 0
+    t0 = time.perf_counter()
+    for path in paths:
+        image = load_image(path)
+        prompt_mask = None
+        if entry.needs_prompt and point is not None:
+            prompt_mask = create_prompt_mask(
+                "points", [{"x": point[0], "y": point[1]}], image.shape[:2]
+            )
+        result = engine.segment(image, model_name, prompt_mask=prompt_mask)
+        stem = os.path.splitext(os.path.basename(path))[0]
+        if output_dir:
+            Image.fromarray(result["mask"], mode="L").save(
+                os.path.join(output_dir, f"{stem}_mask.png")
+            )
+            Image.fromarray(result["color_mask"], mode="RGB").save(
+                os.path.join(output_dir, f"{stem}_color.png")
+            )
+        if labels_dir:
+            label_path = os.path.join(labels_dir, f"{stem}.png")
+            if os.path.isfile(label_path):
+                agg.accumulate(result["mask"], load_label(label_path))
+                scored += 1
+        if verbose:
+            print(f"[predict] {stem}: {result['mask'].shape}")
+    dt = time.perf_counter() - t0
+    summary: Dict = {
+        "model": model_name,
+        "images": len(paths),
+        "images_per_sec": round(len(paths) / dt, 3),
+        "class_names": list(entry.class_names),
+    }
+    if scored:
+        dice, iou, acc = agg.compute_epoch_metrics()
+        summary.update(
+            scored=scored,
+            mean_dice=round(float(dice), 4),
+            mean_iou=round(float(iou), 4),
+            mean_acc=round(float(acc), 4),
+            per_class_iou=[
+                round(float(v), 4) for v in agg.get_last_per_class_iou()
+            ],
+        )
+    return summary
+
+
+def main(argv: Optional[Sequence[str]] = None) -> Dict:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--input", required=True,
+                   help="image file or directory of .jpg/.png")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--models-dir", default=None,
+                   help="directory of trained MO_{name} artifacts")
+    p.add_argument("--demo", action="store_true",
+                   help="random-weight registry (smoke testing)")
+    p.add_argument("--model", default=None,
+                   help="registry model name (default: sole model, else 'unet')")
+    p.add_argument("--labels", default=None,
+                   help="directory of {stem}.png ground-truth class-id labels "
+                        "to score against (original-resolution protocol)")
+    p.add_argument("--point", default=None,
+                   help="X,Y point prompt in original-image pixels "
+                        "(prompt models)")
+    p.add_argument("--ignore-index", type=int, default=3,
+                   help="class excluded from metric macro-averaging "
+                        "(reference eval protocol: 3 = boundary); -1 disables")
+    args = p.parse_args(argv)
+
+    from image_segmentation_tpu.serve.app import (
+        build_demo_engine,
+        build_engine_from_checkpoints,
+    )
+
+    if args.demo or not args.models_dir:
+        print("[predict] demo mode: random-weight models")
+        engine = build_demo_engine()
+    else:
+        engine = build_engine_from_checkpoints(args.models_dir)
+
+    names = engine.available()
+    model = args.model or ("unet" if "unet" in names else names[0])
+    if model not in names:
+        raise SystemExit(f"unknown model {model!r}; available: {names}")
+
+    point = None
+    if args.point:
+        x, y = (int(v) for v in args.point.split(","))
+        point = (x, y)
+
+    summary = predict_paths(
+        engine,
+        model,
+        list_inputs(args.input),
+        output_dir=args.output,
+        labels_dir=args.labels,
+        point=point,
+        ignore_index=None if args.ignore_index < 0 else args.ignore_index,
+    )
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()
