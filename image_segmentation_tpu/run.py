@@ -108,6 +108,17 @@ def main(argv=None):
                    help="frozen-CLIP optimisation: precompute encoder "
                         "features once, train only the decoder (identical "
                         "trajectory; incompatible with online augmentation)")
+    p.add_argument("--evaluate", default=None, metavar="CKPT",
+                   help="evaluate a trained checkpoint (full checkpoint "
+                        "dir or weights-only MO_ artifact) on --split "
+                        "instead of training — the reference notebooks' "
+                        "final test-set eval (eval_loop on the Test "
+                        "dataloader, original-resolution protocol)")
+    p.add_argument("--split", default="Test",
+                   help="data split for --evaluate (Train/Val/Test; "
+                        "default Test). With --synthetic, 'Val' is the "
+                        "same synthetic set fit() validated on; anything "
+                        "else is a held-out synthetic set")
     args = p.parse_args(argv)
 
     import jax
@@ -155,11 +166,21 @@ def main(argv=None):
           f"devices={jax.device_count()}")
 
     # ---- data ----
+    eval_only = args.evaluate is not None
     if args.synthetic:
-        train_items = _synthetic_items(args.synthetic, seed=cfg.seed)
-        val_items = _synthetic_items(max(4, args.synthetic // 4), seed=cfg.seed + 1)
-        train_raw = ArrayDataset(train_items)
-        val_raw = ArrayDataset(val_items)
+        n_val = max(4, args.synthetic // 4)
+        if eval_only:
+            # 'Val' reproduces the set fit() validated on (so evaluate on
+            # the best checkpoint must reproduce best-val metrics); any
+            # other split name is a held-out synthetic test set
+            seed = cfg.seed + (1 if args.split == "Val" else 2)
+            train_raw = None
+            val_raw = ArrayDataset(_synthetic_items(n_val, seed=seed))
+        else:
+            train_raw = ArrayDataset(
+                _synthetic_items(args.synthetic, seed=cfg.seed)
+            )
+            val_raw = ArrayDataset(_synthetic_items(n_val, seed=cfg.seed + 1))
     else:
         if not args.data_root:
             sys.exit("--data-root or --synthetic required")
@@ -167,9 +188,12 @@ def main(argv=None):
             os.path.join(args.data_root, split, "color"),
             os.path.join(args.data_root, split, "label"),
         )
-        train_raw, val_raw = mk("Train"), mk("Val")
+        if eval_only:
+            train_raw, val_raw = None, mk(args.split)
+        else:
+            train_raw, val_raw = mk("Train"), mk("Val")
 
-    if cfg.augment and not cfg.augment_online:
+    if cfg.augment and not cfg.augment_online and not eval_only:
         print("[run] materialising offline augmentation …")
         train_raw = generate_augmented_dataset(train_raw, seed=cfg.seed,
                                                size=cfg.target_size)
@@ -186,15 +210,19 @@ def main(argv=None):
         )
 
     if cfg.model == "prompt":
-        train_raw = generate_prompt_dataset(train_raw, seed=cfg.seed)
+        if not eval_only:
+            train_raw = generate_prompt_dataset(train_raw, seed=cfg.seed)
         val_raw = generate_prompt_dataset(val_raw, seed=cfg.seed + 1)
     else:
-        train_raw = remap_ds(train_raw)
+        if not eval_only:
+            train_raw = remap_ds(train_raw)
         val_raw = remap_ds(val_raw)
 
-    print(f"[run] materialising {len(train_raw)} train / {len(val_raw)} val "
-          f"items at {cfg.target_size}px …")
-    train_data = materialize(train_raw, cfg.target_size)
+    n_train = 0 if eval_only else len(train_raw)
+    print(f"[run] materialising {n_train} train / {len(val_raw)} "
+          f"{'eval' if eval_only else 'val'} items at {cfg.target_size}px …")
+    if not eval_only:
+        train_data = materialize(train_raw, cfg.target_size)
     val_data = materialize(val_raw, cfg.target_size, keep_orig_labels=True)
 
     # ---- stage-1 reconstruction pretraining (autoencoder.ipynb cell 0) ----
@@ -211,6 +239,24 @@ def main(argv=None):
             jnp.zeros((1, cfg.target_size, cfg.target_size, 3)), tx,
         )
         originals = [np.asarray(val_raw[i][0]) for i in range(len(val_raw))]
+        if eval_only:
+            from image_segmentation_tpu.train.loop import (
+                evaluate_reconstruction,
+            )
+
+            loaded = ckpt.load_variables_only(args.evaluate)
+            state = state.replace(
+                params=loaded["params"],
+                batch_stats=loaded.get("batch_stats", state.batch_stats),
+            )
+            print(f"[run] evaluating {args.evaluate} on {args.split} "
+                  f"({len(val_raw)} images) …")
+            mse = evaluate_reconstruction(
+                state, val_data, originals=originals,
+                batch_size=cfg.batch_size,
+            )
+            print(f"[run] {args.split} eval: mse={mse:.6f}")
+            return {"loss": mse}
         accum = max(1, min(cfg.accum_steps, len(train_data) // cfg.batch_size))
         result = fit_reconstruction(
             state, train_data, val_data,
@@ -308,6 +354,58 @@ def main(argv=None):
         print("[run] injected trained ClipUNet into the prompt model "
               "(params + BN stats)")
 
+    # The reference evaluates with a SEPARATE val loss: ignore_index =
+    # EVAL_IGNORE_INDEX (3) and the default smooth (notebooks cell 0:
+    # val_loss_fn = WeightedDice*Loss(ignore_index=EVAL_IGNORE_INDEX, ...)).
+    import dataclasses as _dc2
+
+    val_loss_fn = _dc2.replace(
+        loss_fn, ignore_index=cfg.eval_ignore_index, smooth_dice=1e-5
+    )
+    if cfg.model == "prompt":
+        host_loss = lambda lg, lb: dice_nll_loss_np(lg, lb, val_loss_fn)
+    else:
+        host_loss = lambda lg, lb: dice_ce_loss_np(lg, lb, val_loss_fn)
+
+    if eval_only:
+        # --evaluate: the reference notebooks' final test-set eval
+        # (eval_loop on the Test dataloader at original resolution,
+        # e.g. unet.ipynb last cell) — no training, no optimizer.
+        from image_segmentation_tpu.train.loop import evaluate
+        from image_segmentation_tpu.train.state import TrainState as TS
+
+        loaded = ckpt.load_variables_only(args.evaluate)
+        state = TS(
+            step=0,
+            params=loaded["params"],
+            batch_stats=loaded.get(
+                "batch_stats", variables.get("batch_stats", {})
+            ),
+            opt_state=None,
+            apply_fn=model.apply,
+            tx=None,
+        )
+        print(f"[run] evaluating {args.evaluate} on {args.split} "
+              f"({len(val_raw)} images, protocol={args.eval_protocol}) …")
+        if args.eval_protocol == "device":
+            res = evaluate(
+                state, val_data, num_classes=cfg.num_classes,
+                eval_ignore_index=cfg.eval_ignore_index,
+                batch_size=cfg.batch_size, protocol="device",
+                loss_cfg=val_loss_fn,
+            )
+        else:
+            res = evaluate(
+                state, val_data, host_loss_fn=host_loss,
+                num_classes=cfg.num_classes,
+                eval_ignore_index=cfg.eval_ignore_index,
+                batch_size=cfg.batch_size, protocol="host",
+            )
+        print(f"[run] {args.split} eval: loss={res['loss']:.4f} "
+              f"acc={res['acc']:.4f} dice={res['dice']:.4f} "
+              f"miou={res['iou']:.4f}")
+        return res
+
     frozen = []
     if cfg.model == "autoencoder" and cfg.freeze_encoder and args.pretrained_encoder:
         frozen.append("encoder")
@@ -342,19 +440,6 @@ def main(argv=None):
     )
 
     mesh = None  # built below once the step batch size is known
-
-    # The reference evaluates with a SEPARATE val loss: ignore_index =
-    # EVAL_IGNORE_INDEX (3) and the default smooth (notebooks cell 0:
-    # val_loss_fn = WeightedDice*Loss(ignore_index=EVAL_IGNORE_INDEX, ...)).
-    import dataclasses as _dc2
-
-    val_loss_fn = _dc2.replace(
-        loss_fn, ignore_index=cfg.eval_ignore_index, smooth_dice=1e-5
-    )
-    if cfg.model == "prompt":
-        host_loss = lambda lg, lb: dice_nll_loss_np(lg, lb, val_loss_fn)
-    else:
-        host_loss = lambda lg, lb: dice_ce_loss_np(lg, lb, val_loss_fn)
 
     augment_fn = None
     if cfg.augment and cfg.augment_online and cfg.model != "prompt":

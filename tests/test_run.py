@@ -50,6 +50,55 @@ def test_no_data_source_exits():
         main(["--config", "unet_noaug"])
 
 
+def test_evaluate_checkpoint(tmp_path):
+    """--evaluate reproduces the notebooks' final test-set eval (reference
+    unet.ipynb last cell: eval_loop on the Test dataloader).
+
+    Evaluating the best checkpoint on the SAME split fit() validated on
+    must reproduce the recorded best metrics exactly; the weights-only
+    MO_ artifact must evaluate on a held-out split via both protocols."""
+    res = main([
+        "--config", "unet_noaug", "--synthetic", "8", "--epochs", "2",
+        "--batch-size", "4", "--target-size", "32",
+        "--save-dir", str(tmp_path),
+    ])
+    ev = main([
+        "--config", "unet_noaug", "--synthetic", "8",
+        "--batch-size", "4", "--target-size", "32",
+        "--evaluate", str(tmp_path / "unet_noaug"), "--split", "Val",
+    ])
+    assert abs(ev["dice"] - res.best["dice"]) < 1e-4
+    assert abs(ev["iou"] - res.best["miou"]) < 1e-4
+    # held-out split from the weights-only artifact, host (oracle) protocol
+    ev2 = main([
+        "--config", "unet_noaug", "--synthetic", "8",
+        "--batch-size", "4", "--target-size", "32",
+        "--evaluate", str(tmp_path / "MO_unet_noaug"), "--split", "Test",
+        "--eval-protocol", "host",
+    ])
+    for k in ("loss", "acc", "dice", "iou"):
+        assert k in ev2 and 0.0 <= ev2[k] or k == "loss"
+    # Test split differs from Val (held-out synthetic seed)
+    assert ev2["dice"] != ev["dice"]
+
+
+def test_evaluate_reconstruction(tmp_path):
+    """--evaluate on the recon config scores a stage-1 checkpoint's MSE
+    at original resolution (reference evalReconstruction,
+    utils/training.py:202-239)."""
+    r1 = main([
+        "--config", "recon_ae", "--synthetic", "6", "--epochs", "1",
+        "--batch-size", "2", "--target-size", "32",
+        "--save-dir", str(tmp_path),
+    ])
+    ev = main([
+        "--config", "recon_ae", "--synthetic", "6",
+        "--batch-size", "2", "--target-size", "32",
+        "--evaluate", str(tmp_path / "recon_ae"), "--split", "Val",
+    ])
+    assert abs(ev["loss"] - r1.best["loss"]) < 1e-5
+
+
 def test_lr_schedule_cosine(tmp_path):
     """--lr-schedule cosine trains end-to-end, and the built schedule has
     the promised shape: warmup ramp from 0 to peak, cosine decay to 0."""
