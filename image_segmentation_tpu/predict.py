@@ -61,14 +61,20 @@ def load_image(path: str) -> np.ndarray:
     return normalize_image_channels(_decode_image(path)).astype(np.float32) / 255.0
 
 
-def load_label(path: str) -> np.ndarray:
-    """(H, W) int32 class ids with the 255→boundary remap applied
-    (reference utils/dataset.py:131-138)."""
+def load_label(path: str, prompt_space: bool = False) -> np.ndarray:
+    """(H, W) int32 class ids in the scored model's label space:
+    segmentation models get the 255→boundary remap (reference
+    utils/dataset.py:131-138); prompt models get the prompt-task remap
+    {0 deactivated, 1 bg+boundary, 2 cat, 3 dog} (reference
+    augmentation.ipynb cell 23) so GT and predictions share a space."""
     from image_segmentation_tpu.data.dataset import _decode_image
-    from image_segmentation_tpu.data.labels import target_remap
+    from image_segmentation_tpu.data.labels import (
+        remap_for_prompt_task,
+        target_remap,
+    )
 
-    arr = _decode_image(path)[..., 0]
-    return target_remap(arr.astype(np.int32))
+    arr = _decode_image(path)[..., 0].astype(np.int32)
+    return remap_for_prompt_task(arr) if prompt_space else target_remap(arr)
 
 
 def predict_paths(
@@ -96,18 +102,28 @@ def predict_paths(
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
     entry = engine.models[model_name]
+    if entry.needs_prompt and point is None:
+        raise SystemExit(
+            f"model {model_name!r} is prompt-based: --point X,Y is required "
+            "(an empty prompt would deactivate every pixel)"
+        )
+    if not entry.needs_prompt and point is not None and verbose:
+        print(f"[predict] note: {model_name!r} takes no prompt; "
+              "--point is ignored")
     num_classes = len(entry.class_names)
     agg = MetricsHistory(num_classes=num_classes, ignore_index=ignore_index)
     scored = 0
-    t0 = time.perf_counter()
+    seg_times: List[float] = []
     for path in paths:
         image = load_image(path)
         prompt_mask = None
-        if entry.needs_prompt and point is not None:
+        if entry.needs_prompt:
             prompt_mask = create_prompt_mask(
                 "points", [{"x": point[0], "y": point[1]}], image.shape[:2]
             )
+        t0 = time.perf_counter()
         result = engine.segment(image, model_name, prompt_mask=prompt_mask)
+        seg_times.append(time.perf_counter() - t0)
         stem = os.path.splitext(os.path.basename(path))[0]
         if output_dir:
             Image.fromarray(result["mask"], mode="L").save(
@@ -119,27 +135,47 @@ def predict_paths(
         if labels_dir:
             label_path = os.path.join(labels_dir, f"{stem}.png")
             if os.path.isfile(label_path):
-                agg.accumulate(result["mask"], load_label(label_path))
+                label = load_label(label_path, prompt_space=entry.needs_prompt)
+                if label.shape != result["mask"].shape:
+                    raise ValueError(
+                        f"{label_path}: label shape {label.shape} does not "
+                        f"match image {result['mask'].shape}"
+                    )
+                bad = (label < 0) | (label >= num_classes)
+                if bad.any():
+                    raise ValueError(
+                        f"{label_path}: label values outside the "
+                        f"{num_classes}-class space (found "
+                        f"{sorted(np.unique(label[bad]).tolist())[:8]}); "
+                        "expected class-id PNGs (0..C-1 with the 255 "
+                        "boundary sentinel)"
+                    )
+                agg.accumulate(result["mask"], label)
                 scored += 1
         if verbose:
             print(f"[predict] {stem}: {result['mask'].shape}")
-    dt = time.perf_counter() - t0
+    # steady-state throughput: the first segment() call pays the jit
+    # compile, so exclude it whenever there is more than one image
+    steady = seg_times[1:] if len(seg_times) > 1 else seg_times
     summary: Dict = {
         "model": model_name,
         "images": len(paths),
-        "images_per_sec": round(len(paths) / dt, 3),
+        "images_per_sec": round(len(steady) / max(sum(steady), 1e-9), 3),
+        "first_image_s": round(seg_times[0], 3),
         "class_names": list(entry.class_names),
     }
     if scored:
         dice, iou, acc = agg.compute_epoch_metrics()
+
+        def _num(v):  # NaN (class absent from GT and preds) → JSON null
+            return round(float(v), 4) if np.isfinite(v) else None
+
         summary.update(
             scored=scored,
-            mean_dice=round(float(dice), 4),
-            mean_iou=round(float(iou), 4),
-            mean_acc=round(float(acc), 4),
-            per_class_iou=[
-                round(float(v), 4) for v in agg.get_last_per_class_iou()
-            ],
+            mean_dice=_num(dice),
+            mean_iou=_num(iou),
+            mean_acc=_num(acc),
+            per_class_iou=[_num(v) for v in agg.get_last_per_class_iou()],
         )
     return summary
 
@@ -161,9 +197,13 @@ def main(argv: Optional[Sequence[str]] = None) -> Dict:
     p.add_argument("--point", default=None,
                    help="X,Y point prompt in original-image pixels "
                         "(prompt models)")
-    p.add_argument("--ignore-index", type=int, default=3,
-                   help="class excluded from metric macro-averaging "
-                        "(reference eval protocol: 3 = boundary); -1 disables")
+    p.add_argument("--ignore-index", type=int, default=None,
+                   help="class excluded from metric macro-averaging. "
+                        "Default: 3 (= boundary, the reference eval "
+                        "protocol) for segmentation models; none for "
+                        "prompt models, whose label space has no boundary "
+                        "class (the reference notebooks' ignore_index=3 "
+                        "there would exclude 'dog'); -1 disables")
     args = p.parse_args(argv)
 
     from image_segmentation_tpu.serve.app import (
@@ -187,6 +227,14 @@ def main(argv: Optional[Sequence[str]] = None) -> Dict:
         x, y = (int(v) for v in args.point.split(","))
         point = (x, y)
 
+    if args.ignore_index is None:
+        needs_prompt = engine.models[model].needs_prompt
+        ignore_index = None if needs_prompt else 3
+    elif args.ignore_index < 0:
+        ignore_index = None
+    else:
+        ignore_index = args.ignore_index
+
     summary = predict_paths(
         engine,
         model,
@@ -194,7 +242,7 @@ def main(argv: Optional[Sequence[str]] = None) -> Dict:
         output_dir=args.output,
         labels_dir=args.labels,
         point=point,
-        ignore_index=None if args.ignore_index < 0 else args.ignore_index,
+        ignore_index=ignore_index,
     )
     print(json.dumps(summary))
     return summary

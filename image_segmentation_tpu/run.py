@@ -305,10 +305,72 @@ def main(argv=None):
     else:
         model = C.build_model(cfg, on_tpu=on_tpu)
     loss_fn = C.build_loss(cfg)
-    sample = [jnp.zeros((1, cfg.target_size, cfg.target_size, 3))]
+
+    # The reference evaluates with a SEPARATE val loss: ignore_index =
+    # EVAL_IGNORE_INDEX (3) and the default smooth (notebooks cell 0:
+    # val_loss_fn = WeightedDice*Loss(ignore_index=EVAL_IGNORE_INDEX, ...)).
+    import dataclasses as _dc2
+
+    val_loss_fn = _dc2.replace(
+        loss_fn, ignore_index=cfg.eval_ignore_index, smooth_dice=1e-5
+    )
     if cfg.model == "prompt":
-        sample.append(jnp.zeros((1, cfg.target_size, cfg.target_size, 1)))
-    variables = model.init(jax.random.PRNGKey(cfg.seed), *sample, train=False)
+        host_loss = lambda lg, lb: dice_nll_loss_np(lg, lb, val_loss_fn)
+    else:
+        host_loss = lambda lg, lb: dice_ce_loss_np(lg, lb, val_loss_fn)
+
+    def _init_variables():
+        sample = [jnp.zeros((1, cfg.target_size, cfg.target_size, 3))]
+        if cfg.model == "prompt":
+            sample.append(jnp.zeros((1, cfg.target_size, cfg.target_size, 1)))
+        return model.init(jax.random.PRNGKey(cfg.seed), *sample, train=False)
+
+    if eval_only:
+        # --evaluate: the reference notebooks' final test-set eval
+        # (eval_loop on the Test dataloader at original resolution,
+        # e.g. unet.ipynb last cell) — no training, no optimizer. The
+        # checkpoint supplies params (+ BN stats: MO_ artifacts and full
+        # checkpoints both carry them); random init runs only as the
+        # fallback for pre-batch_stats artifacts.
+        from image_segmentation_tpu.train.loop import evaluate
+        from image_segmentation_tpu.train.state import TrainState as TS
+
+        loaded = ckpt.load_variables_only(args.evaluate)
+        batch_stats = loaded.get("batch_stats")
+        if batch_stats is None:
+            print("[run] note: artifact has no batch_stats; BN runs with "
+                  "init statistics")
+            batch_stats = _init_variables().get("batch_stats", {})
+        state = TS(
+            step=0,
+            params=loaded["params"],
+            batch_stats=batch_stats,
+            opt_state=None,
+            apply_fn=model.apply,
+            tx=None,
+        )
+        print(f"[run] evaluating {args.evaluate} on {args.split} "
+              f"({len(val_raw)} images, protocol={args.eval_protocol}) …")
+        if args.eval_protocol == "device":
+            res = evaluate(
+                state, val_data, num_classes=cfg.num_classes,
+                eval_ignore_index=cfg.eval_ignore_index,
+                batch_size=cfg.batch_size, protocol="device",
+                loss_cfg=val_loss_fn,
+            )
+        else:
+            res = evaluate(
+                state, val_data, host_loss_fn=host_loss,
+                num_classes=cfg.num_classes,
+                eval_ignore_index=cfg.eval_ignore_index,
+                batch_size=cfg.batch_size, protocol="host",
+            )
+        print(f"[run] {args.split} eval: loss={res['loss']:.4f} "
+              f"acc={res['acc']:.4f} dice={res['dice']:.4f} "
+              f"miou={res['iou']:.4f}")
+        return res
+
+    variables = _init_variables()
 
     params = variables["params"]
     if args.init_weights:
@@ -353,58 +415,6 @@ def main(argv=None):
             variables = {**variables, "batch_stats": v2["batch_stats"]}
         print("[run] injected trained ClipUNet into the prompt model "
               "(params + BN stats)")
-
-    # The reference evaluates with a SEPARATE val loss: ignore_index =
-    # EVAL_IGNORE_INDEX (3) and the default smooth (notebooks cell 0:
-    # val_loss_fn = WeightedDice*Loss(ignore_index=EVAL_IGNORE_INDEX, ...)).
-    import dataclasses as _dc2
-
-    val_loss_fn = _dc2.replace(
-        loss_fn, ignore_index=cfg.eval_ignore_index, smooth_dice=1e-5
-    )
-    if cfg.model == "prompt":
-        host_loss = lambda lg, lb: dice_nll_loss_np(lg, lb, val_loss_fn)
-    else:
-        host_loss = lambda lg, lb: dice_ce_loss_np(lg, lb, val_loss_fn)
-
-    if eval_only:
-        # --evaluate: the reference notebooks' final test-set eval
-        # (eval_loop on the Test dataloader at original resolution,
-        # e.g. unet.ipynb last cell) — no training, no optimizer.
-        from image_segmentation_tpu.train.loop import evaluate
-        from image_segmentation_tpu.train.state import TrainState as TS
-
-        loaded = ckpt.load_variables_only(args.evaluate)
-        state = TS(
-            step=0,
-            params=loaded["params"],
-            batch_stats=loaded.get(
-                "batch_stats", variables.get("batch_stats", {})
-            ),
-            opt_state=None,
-            apply_fn=model.apply,
-            tx=None,
-        )
-        print(f"[run] evaluating {args.evaluate} on {args.split} "
-              f"({len(val_raw)} images, protocol={args.eval_protocol}) …")
-        if args.eval_protocol == "device":
-            res = evaluate(
-                state, val_data, num_classes=cfg.num_classes,
-                eval_ignore_index=cfg.eval_ignore_index,
-                batch_size=cfg.batch_size, protocol="device",
-                loss_cfg=val_loss_fn,
-            )
-        else:
-            res = evaluate(
-                state, val_data, host_loss_fn=host_loss,
-                num_classes=cfg.num_classes,
-                eval_ignore_index=cfg.eval_ignore_index,
-                batch_size=cfg.batch_size, protocol="host",
-            )
-        print(f"[run] {args.split} eval: loss={res['loss']:.4f} "
-              f"acc={res['acc']:.4f} dice={res['dice']:.4f} "
-              f"miou={res['iou']:.4f}")
-        return res
 
     frozen = []
     if cfg.model == "autoencoder" and cfg.freeze_encoder and args.pretrained_encoder:

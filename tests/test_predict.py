@@ -185,6 +185,123 @@ class TestPredictPaths:
         assert summary["mean_dice"] == 1.0
         assert summary["mean_iou"] == 1.0
 
+    def test_label_shape_mismatch_raises(self, tiny_engine, tmp_path):
+        from PIL import Image
+
+        paths = _write_images(str(tmp_path / "imgs"), n=1)
+        with Image.open(paths[0]) as im:
+            w, h = im.size
+        labels = str(tmp_path / "labels")
+        os.makedirs(labels)
+        # transposed label: same pixel count, wrong shape — must be an
+        # error, not silently reshaped into garbage metrics
+        Image.fromarray(np.zeros((w, h), np.uint8), mode="L").save(
+            os.path.join(labels, "img0.png")
+        )
+        with pytest.raises(ValueError, match="shape"):
+            predict_paths(
+                tiny_engine, "unet", paths, labels_dir=labels, verbose=False
+            )
+
+    def test_label_out_of_range_raises(self, tiny_engine, tmp_path):
+        from PIL import Image
+
+        paths = _write_images(str(tmp_path / "imgs"), n=1)
+        with Image.open(paths[0]) as im:
+            w, h = im.size
+        labels = str(tmp_path / "labels")
+        os.makedirs(labels)
+        lab = np.full((h, w), 7, np.uint8)  # antialiased/garbage value
+        Image.fromarray(lab, mode="L").save(os.path.join(labels, "img0.png"))
+        with pytest.raises(ValueError, match="outside"):
+            predict_paths(
+                tiny_engine, "unet", paths, labels_dir=labels, verbose=False
+            )
+
+    def test_absent_class_iou_is_json_null(self, tiny_engine, tmp_path):
+        """Classes absent from GT and predictions give NaN IoU — the
+        summary must stay valid JSON (null), not emit a bare NaN."""
+        from PIL import Image
+
+        paths = _write_images(str(tmp_path / "imgs"), n=1)
+        with Image.open(paths[0]) as im:
+            w, h = im.size
+        labels = str(tmp_path / "labels")
+        os.makedirs(labels)
+        Image.fromarray(np.zeros((h, w), np.uint8), mode="L").save(
+            os.path.join(labels, "img0.png")
+        )
+        summary = predict_paths(
+            tiny_engine, "unet", paths, labels_dir=labels, verbose=False
+        )
+        json.loads(json.dumps(summary, allow_nan=False))  # must not raise
+
+    def test_prompt_model_requires_point(self, tmp_path):
+        import flax.linen as nn
+
+        class P(nn.Module):
+            @nn.compact
+            def __call__(self, x, heatmap, train=False):
+                return jnp.zeros(x.shape[:3] + (4,))
+
+        eng = InferenceEngine(fast_transfer=False)
+        model = P()
+        eng.register(
+            "p", model,
+            model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 1)),
+            ),
+            target_size=32, needs_prompt=True,
+        )
+        paths = _write_images(str(tmp_path / "imgs"), n=1)
+        with pytest.raises(SystemExit, match="point"):
+            predict_paths(eng, "p", paths, verbose=False)
+
+    def test_prompt_scoring_uses_prompt_label_space(self, tmp_path):
+        """GT PNGs on disk are in the SEG space (0 bg, 1 cat, 2 dog, 255
+        boundary); scoring a prompt model must remap them to the prompt
+        space {1 bg+boundary, 2 cat, 3 dog} so a perfect prompt-space
+        prediction scores 1.0 (was: compared across spaces, off by one)."""
+        import flax.linen as nn
+
+        class Oracle(nn.Module):
+            # predicts prompt-space ids from the red channel: dark → bg(1),
+            # bright → dog(3) — matching how the fixture image is built
+            @nn.compact
+            def __call__(self, x, heatmap, train=False):
+                cls = jnp.where(x[..., 0] > 0.5, 3, 1)
+                return jax.nn.one_hot(cls, 4)
+
+        from PIL import Image
+
+        eng = InferenceEngine(fast_transfer=False)
+        model = Oracle()
+        eng.register(
+            "oracle", model,
+            model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 1)),
+            ),
+            target_size=32, needs_prompt=True,
+        )
+        img = np.zeros((32, 32, 3), np.uint8)
+        img[16:] = 200  # bottom half bright → dog
+        p = str(tmp_path / "x.png")
+        Image.fromarray(img).save(p)
+        lab = np.zeros((32, 32), np.uint8)  # seg space: 0 bg
+        lab[16:] = 2                        # seg space: 2 dog
+        lab[0, :] = 255                     # boundary → prompt bg (1)
+        labels = str(tmp_path / "labels")
+        os.makedirs(labels)
+        Image.fromarray(lab, mode="L").save(os.path.join(labels, "x.png"))
+        summary = predict_paths(
+            eng, "oracle", [p], labels_dir=labels, point=(16, 16),
+            ignore_index=None, verbose=False,
+        )
+        assert summary["mean_dice"] == 1.0
+        assert summary["mean_iou"] == 1.0
+
     def test_prompt_model_gets_point_mask(self, tmp_path):
         """needs_prompt + --point: the rendered heatmap reaches the model."""
         import flax.linen as nn

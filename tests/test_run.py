@@ -77,7 +77,9 @@ def test_evaluate_checkpoint(tmp_path):
         "--eval-protocol", "host",
     ])
     for k in ("loss", "acc", "dice", "iou"):
-        assert k in ev2 and 0.0 <= ev2[k] or k == "loss"
+        assert k in ev2
+        if k != "loss":
+            assert 0.0 <= ev2[k] <= 1.0
     # Test split differs from Val (held-out synthetic seed)
     assert ev2["dice"] != ev["dice"]
 
