@@ -275,8 +275,11 @@ class TestBatchingEngine:
             results = {}
 
             def run(i, name):
+                # generous deadline: up to 4 jit compiles (2 models × 2
+                # batch buckets) behind one worker, possibly under xdist
+                # CPU contention — 30 s flaked on a loaded host
                 results[(i, name)] = be.segment(imgs[i], name,
-                                                timeout=30)["mask"]
+                                                timeout=180)["mask"]
 
             threads = [
                 threading.Thread(target=run, args=(i, name))
