@@ -141,9 +141,11 @@ def build_demo_engine(seed: int = 0, mesh=None) -> InferenceEngine:
     return eng
 
 
-def build_engine_from_checkpoints(models_dir: str, mesh=None) -> InferenceEngine:
+def load_family_models(models_dir: str):
     """Load trained weights-only checkpoints (the MO_{name} artifacts)
-    from models_dir for whichever of the 4 model families are present."""
+    from models_dir for whichever of the 4 model families are present.
+    Yields (name, model, variables, target_size, needs_prompt) — shared
+    by the serving registry and the AOT exporter (serve/export.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -173,7 +175,6 @@ def build_engine_from_checkpoints(models_dir: str, mesh=None) -> InferenceEngine
         "clip": ("MO_clip", "MO_clipunet", "MO_clipunet_noskips"),
         "prompt_model": ("MO_prompt_model", "MO_prompt"),
     }
-    eng = InferenceEngine(mesh=mesh)
     for name, (model, tsize, needs_prompt, sample) in specs.items():
         path = next(
             (
@@ -191,6 +192,15 @@ def build_engine_from_checkpoints(models_dir: str, mesh=None) -> InferenceEngine
         # the artifact carries trained BN running stats (batch_stats);
         # merging over init matters — eval with init stats is wrong
         variables = {**variables, **load_variables_only(path)}
+        yield name, model, variables, tsize, needs_prompt
+
+
+def build_engine_from_checkpoints(models_dir: str, mesh=None) -> InferenceEngine:
+    """Serving registry over whichever trained family checkpoints exist."""
+    eng = InferenceEngine(mesh=mesh)
+    for name, model, variables, tsize, needs_prompt in load_family_models(
+        models_dir
+    ):
         eng.register(name, model, variables, tsize, needs_prompt=needs_prompt)
         print(f"[serve] loaded {name}")
     if not eng.models:
@@ -313,6 +323,10 @@ def main():
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--models-dir", default=None)
+    p.add_argument("--exports-dir", default=None,
+                   help="serve .istpu AOT artifacts (serve/export.py) from "
+                        "this directory — no model code or checkpoint "
+                        "restore at startup; combinable with --models-dir")
     p.add_argument("--demo", action="store_true",
                    help="random-weight registry (no checkpoints needed)")
     p.add_argument("--max-batch", type=int, default=0,
@@ -332,7 +346,22 @@ def main():
 
         mesh = get_mesh()
         print(f"[serve] mesh serving over {jax.device_count()} devices")
-    if args.demo or not args.models_dir:
+    if args.exports_dir:
+        from image_segmentation_tpu.serve.export import ARTIFACT_EXT
+
+        engine = InferenceEngine(mesh=mesh)
+        if args.models_dir:
+            engine = build_engine_from_checkpoints(args.models_dir, mesh=mesh)
+        for f in sorted(os.listdir(args.exports_dir)):
+            if f.endswith(ARTIFACT_EXT):
+                name = engine.register_exported(
+                    os.path.join(args.exports_dir, f)
+                )
+                print(f"[serve] loaded AOT artifact {name} ({f})")
+        if not engine.models:
+            raise SystemExit(f"no {ARTIFACT_EXT} artifacts in "
+                             f"{args.exports_dir}")
+    elif args.demo or not args.models_dir:
         print("[serve] demo mode: random-weight models")
         engine = build_demo_engine(mesh=mesh)
     else:

@@ -163,6 +163,28 @@ class InferenceEngine:
             needs_prompt=needs_prompt,
         )
 
+    def register_exported(self, path: str, name: Optional[str] = None) -> str:
+        """Register a ``.istpu`` AOT artifact (serve/export.py): the
+        deserialized serialized-StableHLO forward serves directly — no
+        model code, flax module, or checkpoint restore involved. The
+        artifact's symbolic batch dimension serves both single requests
+        and BatchingEngine buckets. Input dtype adaptation to the
+        artifact's baked-in contract happens inside the loaded callable,
+        so it composes with either fast_transfer setting. Returns the
+        registered name."""
+        from image_segmentation_tpu.serve.export import load_exported
+
+        call, meta = load_exported(path)
+        name = name or meta["name"]
+        self.models[name] = ModelEntry(
+            name=name,
+            forward=call,
+            target_size=int(meta["target_size"]),
+            class_names=tuple(meta["class_names"]),
+            needs_prompt=bool(meta["needs_prompt"]),
+        )
+        return name
+
     def available(self):
         return sorted(self.models.keys())
 
