@@ -46,12 +46,13 @@ def wait_for_backend() -> None:
     comes up within the budget, fall through and let the real init raise
     the same error it would have raised anyway.
 
-    Budget: ISTPU_BENCH_BACKEND_WAIT_S (default 600 s), probes every 30 s.
+    Budget: ISTPU_BENCH_BACKEND_WAIT_S (default 1800 s — wedges of
+    ~40 min have been observed on this host), probes every 30 s.
     """
     import os
     import subprocess
 
-    budget = float(os.environ.get("ISTPU_BENCH_BACKEND_WAIT_S", "600"))
+    budget = float(os.environ.get("ISTPU_BENCH_BACKEND_WAIT_S", "1800"))
     if budget <= 0:
         return
     probe = [
@@ -65,7 +66,8 @@ def wait_for_backend() -> None:
         attempt += 1
         try:
             r = subprocess.run(
-                probe, capture_output=True, timeout=max(60.0, budget / 4)
+                probe, capture_output=True,
+                timeout=min(120.0, max(60.0, budget / 4)),
             )
             if r.returncode == 0:
                 return

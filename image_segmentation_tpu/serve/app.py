@@ -96,9 +96,12 @@ def encode_png_base64(arr: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
-def build_demo_engine(seed: int = 0, mesh=None) -> InferenceEngine:
-    """Random-weight registry with all four model families at reduced
-    size — exercises the full serving path without checkpoints."""
+def demo_model_specs(seed: int = 0, only: str | None = None):
+    """(name, model, variables, target_size, needs_prompt) for the
+    random-weight reduced-size families — ONE definition consumed by
+    both the demo registry (build_demo_engine) and the AOT exporter
+    (serve/export.py --demo), so demo artifacts always match the demo
+    engine. `only` skips construction of non-matching families."""
     import jax
     import jax.numpy as jnp
 
@@ -107,45 +110,55 @@ def build_demo_engine(seed: int = 0, mesh=None) -> InferenceEngine:
     from image_segmentation_tpu.models.clip_vit import ClipViTConfig
     from image_segmentation_tpu.models.prompt import PromptModel
 
-    eng = InferenceEngine(mesh=mesh)
     key = jax.random.PRNGKey(seed)
-
-    unet = UNet(num_classes=4, base=8)
-    v = unet.init(key, jnp.zeros((1, 64, 64, 3)), train=False)
-    eng.register("unet", unet, v, target_size=64)
-
-    ae = SegmentationAutoencoder(num_classes=4, base=8)
-    v = ae.init(key, jnp.zeros((1, 64, 64, 3)), train=False)
-    eng.register("autoencoder", ae, v, target_size=64)
-
     vit = ClipViTConfig(
         image_size=64, patch_size=16, hidden_size=64, num_layers=3,
         num_heads=4, mlp_dim=128,
     )
     # grid 4 needs FOUR up-blocks to reach 64px output
-    clip = ClipUNet(
-        num_classes=4, vit=vit, skip_indices=(0, 1, 2, 3),
-        decoder_channels=(64, 32, 16, 8, 8),
-    )
-    v = clip.init(key, jnp.zeros((1, 64, 64, 3)), train=False)
-    eng.register("clip", clip, v, target_size=64)
+    builders = {
+        "unet": lambda: (UNet(num_classes=4, base=8), False),
+        "autoencoder": lambda: (
+            SegmentationAutoencoder(num_classes=4, base=8), False,
+        ),
+        "clip": lambda: (
+            ClipUNet(num_classes=4, vit=vit, skip_indices=(0, 1, 2, 3),
+                     decoder_channels=(64, 32, 16, 8, 8)),
+            False,
+        ),
+        "prompt_model": lambda: (
+            PromptModel(vit=vit, skip_indices=(0, 1, 2, 3),
+                        decoder_channels=(64, 32, 16, 8, 8), unet_base=8),
+            True,
+        ),
+    }
+    for name, build in builders.items():
+        if only and name != only:
+            continue
+        model, needs_prompt = build()
+        sample = [jnp.zeros((1, 64, 64, 3))]
+        if needs_prompt:
+            sample.append(jnp.zeros((1, 64, 64, 1)))
+        variables = model.init(key, *sample, train=False)
+        yield name, model, variables, 64, needs_prompt
 
-    prompt = PromptModel(
-        vit=vit, skip_indices=(0, 1, 2, 3),
-        decoder_channels=(64, 32, 16, 8, 8), unet_base=8,
-    )
-    v = prompt.init(
-        key, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 1)), train=False
-    )
-    eng.register("prompt_model", prompt, v, target_size=64, needs_prompt=True)
+
+def build_demo_engine(seed: int = 0, mesh=None) -> InferenceEngine:
+    """Random-weight registry with all four model families at reduced
+    size — exercises the full serving path without checkpoints."""
+    eng = InferenceEngine(mesh=mesh)
+    for name, model, v, tsize, needs_prompt in demo_model_specs(seed):
+        eng.register(name, model, v, target_size=tsize,
+                     needs_prompt=needs_prompt)
     return eng
 
 
-def load_family_models(models_dir: str):
+def load_family_models(models_dir: str, only: str | None = None):
     """Load trained weights-only checkpoints (the MO_{name} artifacts)
     from models_dir for whichever of the 4 model families are present.
     Yields (name, model, variables, target_size, needs_prompt) — shared
-    by the serving registry and the AOT exporter (serve/export.py)."""
+    by the serving registry and the AOT exporter (serve/export.py).
+    `only` skips the init+restore work for non-matching families."""
     import jax
     import jax.numpy as jnp
 
@@ -176,6 +189,8 @@ def load_family_models(models_dir: str):
         "prompt_model": ("MO_prompt_model", "MO_prompt"),
     }
     for name, (model, tsize, needs_prompt, sample) in specs.items():
+        if only and name != only:
+            continue
         path = next(
             (
                 os.path.join(models_dir, c)
@@ -349,16 +364,21 @@ def main():
     if args.exports_dir:
         from image_segmentation_tpu.serve.export import ARTIFACT_EXT
 
+        if not os.path.isdir(args.exports_dir):
+            raise SystemExit(f"--exports-dir {args.exports_dir!r} is not "
+                             "a directory")
         engine = InferenceEngine(mesh=mesh)
         if args.models_dir:
             engine = build_engine_from_checkpoints(args.models_dir, mesh=mesh)
+        n_artifacts = 0
         for f in sorted(os.listdir(args.exports_dir)):
             if f.endswith(ARTIFACT_EXT):
                 name = engine.register_exported(
                     os.path.join(args.exports_dir, f)
                 )
                 print(f"[serve] loaded AOT artifact {name} ({f})")
-        if not engine.models:
+                n_artifacts += 1
+        if not n_artifacts:
             raise SystemExit(f"no {ARTIFACT_EXT} artifacts in "
                              f"{args.exports_dir}")
     elif args.demo or not args.models_dir:

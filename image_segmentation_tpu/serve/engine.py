@@ -24,12 +24,38 @@ SEG_CLASS_NAMES = ("background", "cat", "dog", "boundary")
 PROMPT_CLASS_NAMES = ("deactivated", "background", "cat", "dog")
 
 
+def quantize_uint8(arr, xp=np):
+    """THE uint8 quantization contract for [0,1] float staging arrays —
+    one definition shared by host packing (xp=np) and the AOT artifact
+    dtype adapter (xp=jnp, on device; serve/export.py) so the two can
+    never drift."""
+    return xp.clip(xp.round(arr * 255.0), 0, 255).astype(xp.uint8)
+
+
 def _pack_transfer(arr: np.ndarray, fast_transfer: bool) -> np.ndarray:
     """Transfer packing for a [0,1] float staging array (uint8 when
     fast_transfer — the input is 8-bit at the source)."""
     if fast_transfer:
-        return np.clip(np.round(arr * 255.0), 0, 255).astype(np.uint8)
+        return quantize_uint8(arr)
     return arr.astype(np.float32)
+
+
+def make_serving_forward(model, variables, fast_transfer: bool = True):
+    """THE serving forward contract, shared by live registration
+    (InferenceEngine.register jits it) and AOT export (serve/export.py
+    lowers it): uint8 inputs decode to [0,1] float on device; scores
+    come back bfloat16 when fast_transfer (≈2.5× less host↔device
+    traffic), float32 otherwise."""
+
+    def fwd(*inputs):
+        inputs = [
+            x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
+            for x in inputs
+        ]
+        out = model.apply(variables, *inputs, train=False)
+        return out.astype(jnp.bfloat16) if fast_transfer else out
+
+    return fwd
 
 
 def stage_request(image, entry, prompt_mask, fast_transfer: bool):
@@ -123,20 +149,14 @@ class InferenceEngine:
     ) -> None:
         """Register a flax model + variables under `name` with one jitted
         inference forward."""
-        fast = self.fast_transfer
         if self.mesh is not None:
             from image_segmentation_tpu.parallel.mesh import replicate
 
             variables = replicate(variables, self.mesh)
 
-        @jax.jit
-        def jitted(*inputs):
-            inputs = [
-                x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
-                for x in inputs
-            ]
-            out = model.apply(variables, *inputs, train=False)
-            return out.astype(jnp.bfloat16) if fast else out
+        jitted = jax.jit(
+            make_serving_forward(model, variables, self.fast_transfer)
+        )
 
         if self.mesh is None:
             forward = jitted
@@ -176,6 +196,12 @@ class InferenceEngine:
 
         call, meta = load_exported(path)
         name = name or meta["name"]
+        if name in self.models:
+            print(f"[serve] note: AOT artifact {path} replaces the "
+                  f"already-registered model {name!r}")
+        if self.mesh is not None:
+            print(f"[serve] note: mesh serving does not apply to AOT "
+                  f"artifacts — {name!r} runs single-device")
         self.models[name] = ModelEntry(
             name=name,
             forward=call,

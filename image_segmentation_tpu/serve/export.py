@@ -38,24 +38,6 @@ ARTIFACT_VERSION = 1
 ARTIFACT_EXT = ".istpu"
 
 
-def make_serving_forward(model, variables, fast_transfer: bool = True):
-    """The canonical serving forward (same contract as
-    InferenceEngine.register): uint8 inputs decode to [0,1] float on
-    device; scores come back bfloat16 when fast_transfer (≈2.5× less
-    host↔device traffic), float32 otherwise."""
-    import jax.numpy as jnp
-
-    def fwd(*inputs):
-        inputs = [
-            x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
-            for x in inputs
-        ]
-        out = model.apply(variables, *inputs, train=False)
-        return out.astype(jnp.bfloat16) if fast_transfer else out
-
-    return fwd
-
-
 def export_model(
     model,
     variables,
@@ -73,6 +55,8 @@ def export_model(
     without per-shape re-export."""
     import jax
     import jax.numpy as jnp
+
+    from image_segmentation_tpu.serve.engine import make_serving_forward
 
     in_dtype = jnp.uint8 if fast_transfer else jnp.float32
     shapes = [(1, target_size, target_size, 3)]
@@ -126,12 +110,18 @@ def save_exported(
 
 
 def load_exported(path: str):
-    """Read an artifact → (callable, meta). The callable takes the host
+    """Read an artifact → (callable, meta). The callable has the SAME
+    contract as a live jitted serving forward (ModelEntry.forward):
     staging arrays ((B, T, T, 3) [+ (B, T, T, 1) heatmap]) in ANY of
-    uint8 / float [0,1] — dtype adaptation to the artifact's baked-in
-    input contract happens here on the host — and returns (B, T, T, C)
-    float32 scores. No model code or flax involved."""
+    uint8 / float [0,1] in, a DEVICE array of (B, T, T, C) scores out
+    (bfloat16 for fast-transfer artifacts) — dtype adaptation to the
+    artifact's baked-in input contract runs on device, and the output
+    stays on device so batched callers slice padding off before any
+    host transfer. No model code or flax involved."""
     import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.serve.engine import quantize_uint8
 
     with zipfile.ZipFile(path) as z:
         meta = json.loads(z.read("meta.json"))
@@ -144,17 +134,16 @@ def load_exported(path: str):
     exported = jax.export.deserialize(blob)
     wants_uint8 = meta["input_dtype"] == "uint8"
 
-    def _adapt(x) -> np.ndarray:
-        x = np.asarray(x)
-        if wants_uint8 and x.dtype != np.uint8:
-            return np.clip(np.round(x * 255.0), 0, 255).astype(np.uint8)
-        if not wants_uint8 and x.dtype == np.uint8:
-            return x.astype(np.float32) / 255.0
+    def _adapt(x):
+        x = jnp.asarray(x)
+        if wants_uint8 and x.dtype != jnp.uint8:
+            return quantize_uint8(x, xp=jnp)
+        if not wants_uint8 and x.dtype == jnp.uint8:
+            return x.astype(jnp.float32) / 255.0
         return x
 
     def call(*inputs):
-        out = exported.call(*[_adapt(x) for x in inputs])
-        return np.asarray(out, dtype=np.float32)
+        return exported.call(*[_adapt(x) for x in inputs])
 
     return call, meta
 
@@ -174,21 +163,19 @@ def export_registry(
     os.makedirs(out_dir, exist_ok=True)
     written = []
     if demo:
-        # demo models are registered as jitted closures; rebuild the
-        # (model, variables) pairs directly for export
-        entries = _demo_model_specs()
+        from image_segmentation_tpu.serve.app import demo_model_specs
+
+        entries = demo_model_specs(only=only)
     else:
         from image_segmentation_tpu.serve.app import load_family_models
 
-        entries = load_family_models(models_dir)
+        entries = load_family_models(models_dir, only=only)
     from image_segmentation_tpu.serve.engine import (
         PROMPT_CLASS_NAMES,
         SEG_CLASS_NAMES,
     )
 
     for name, model, variables, tsize, needs_prompt in entries:
-        if only and name != only:
-            continue
         path = os.path.join(out_dir, f"{name}{ARTIFACT_EXT}")
         meta = save_exported(
             path,
@@ -213,47 +200,6 @@ def export_registry(
             + (f" for model {only!r}" if only else "")
         )
     return written
-
-
-def _demo_model_specs():
-    """(name, model, variables, target_size, needs_prompt) for the same
-    reduced-size families build_demo_engine registers."""
-    import jax
-    import jax.numpy as jnp
-
-    from image_segmentation_tpu.models import SegmentationAutoencoder, UNet
-    from image_segmentation_tpu.models.clip_unet import ClipUNet
-    from image_segmentation_tpu.models.clip_vit import ClipViTConfig
-    from image_segmentation_tpu.models.prompt import PromptModel
-
-    key = jax.random.PRNGKey(0)
-    unet = UNet(num_classes=4, base=8)
-    yield "unet", unet, unet.init(
-        key, jnp.zeros((1, 64, 64, 3)), train=False
-    ), 64, False
-    ae = SegmentationAutoencoder(num_classes=4, base=8)
-    yield "autoencoder", ae, ae.init(
-        key, jnp.zeros((1, 64, 64, 3)), train=False
-    ), 64, False
-    vit = ClipViTConfig(
-        image_size=64, patch_size=16, hidden_size=64, num_layers=3,
-        num_heads=4, mlp_dim=128,
-    )
-    clip = ClipUNet(
-        num_classes=4, vit=vit, skip_indices=(0, 1, 2, 3),
-        decoder_channels=(64, 32, 16, 8, 8),
-    )
-    yield "clip", clip, clip.init(
-        key, jnp.zeros((1, 64, 64, 3)), train=False
-    ), 64, False
-    prompt = PromptModel(
-        vit=vit, skip_indices=(0, 1, 2, 3),
-        decoder_channels=(64, 32, 16, 8, 8), unet_base=8,
-    )
-    yield "prompt_model", prompt, prompt.init(
-        key, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 1)),
-        train=False,
-    ), 64, True
 
 
 def main(argv: Optional[Sequence[str]] = None):
