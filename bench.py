@@ -215,6 +215,11 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=0, help="0 = auto")
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--infer", action="store_true", help="benchmark inference")
+    p.add_argument("--infer-exported", action="store_true",
+                   help="benchmark inference THROUGH an AOT .istpu "
+                        "artifact (serve/export.py) — shows the "
+                        "serialized-StableHLO deployment path is "
+                        "perf-neutral vs the live jit")
     p.add_argument("--fit", action="store_true",
                    help="end-to-end fit() epoch throughput mode")
     p.add_argument("--fit-images", type=int, default=512)
@@ -277,7 +282,35 @@ def main() -> None:
         model, jax.random.PRNGKey(0), images[:1], tx
     )
 
-    if args.infer:
+    if args.infer_exported:
+        import tempfile
+
+        from image_segmentation_tpu.serve.export import (
+            load_exported,
+            save_exported,
+        )
+
+        with tempfile.TemporaryDirectory() as td:
+            path = f"{td}/{name}.istpu"
+            save_exported(
+                path, model,
+                {"params": state.params, "batch_stats": state.batch_stats},
+                size_used, name=name,
+                class_names=("background", "cat", "dog", "boundary"),
+                # float32 artifact: the bench feeds float images, and the
+                # live-jit comparison path is float too
+                fast_transfer=False,
+            )
+            call, _ = load_exported(path)
+        out = call(images)
+        np.asarray(out[0, 0, 0])  # compile + hard sync
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = call(images)
+        np.asarray(out[0, 0, 0])
+        dt = time.perf_counter() - t0
+        metric = f"{name}_infer_exported_images_per_sec_per_chip_{size_used}px"
+    elif args.infer:
         fwd = jax.jit(
             lambda s, x: s.apply_fn(
                 {"params": s.params, "batch_stats": s.batch_stats}, x, train=False
