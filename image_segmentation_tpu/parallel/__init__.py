@@ -3,6 +3,12 @@ from image_segmentation_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
+from image_segmentation_tpu.parallel.multihost import (
+    global_batch_from_local,
+    initialize_multihost,
+    process_local_indices,
+    replicate_for_processes,
+)
 from image_segmentation_tpu.parallel.pp import (
     pipeline_blocks,
     shard_stacked_params,
@@ -20,4 +26,8 @@ __all__ = [
     "stack_block_params",
     "unstack_block_params",
     "shard_stacked_params",
+    "initialize_multihost",
+    "process_local_indices",
+    "global_batch_from_local",
+    "replicate_for_processes",
 ]

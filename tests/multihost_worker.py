@@ -1,0 +1,75 @@
+"""Worker process for tests/test_multihost.py — NOT a test module.
+
+Each instance is a real separate JAX process in a gloo CPU cluster:
+it loads only its local shard of a deterministic global batch, runs the
+SAME jitted data-parallel train step as single-host training, and prints
+the final (replicated) loss for the parent test to compare.
+
+Usage: python multihost_worker.py <process_id> <num_processes> <port>
+"""
+import os
+import sys
+
+PID, NPROC, PORT = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+LOCAL_DEVICES = 2
+
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from image_segmentation_tpu.parallel.multihost import (
+    assert_same_across_processes,
+    global_batch_from_local,
+    initialize_multihost,
+    process_local_indices,
+    replicate_for_processes,
+)
+
+initialize_multihost(f"localhost:{PORT}", NPROC, PID)
+
+import jax.numpy as jnp
+import numpy as np
+
+from image_segmentation_tpu.losses import DiceCELoss
+from image_segmentation_tpu.models import UNet
+from image_segmentation_tpu.parallel.mesh import get_mesh
+from image_segmentation_tpu.train import create_train_state, make_train_step
+from image_segmentation_tpu.train.state import make_adamw
+
+assert jax.process_count() == NPROC
+assert jax.device_count() == NPROC * LOCAL_DEVICES
+
+B, S = 8, 32
+mesh = get_mesh()  # all global devices on the data axis
+
+# identical init on every process (same PRNGKey) -> replicate
+state = create_train_state(
+    UNet(num_classes=4, base=8), jax.random.PRNGKey(0),
+    jnp.zeros((1, S, S, 3)), make_adamw(learning_rate=1e-3),
+)
+state = replicate_for_processes(state, mesh)
+
+# the full dataset exists only as a recipe; each process materialises
+# JUST its local rows (in a real run: decodes only those files)
+rng = np.random.default_rng(0)
+images = rng.uniform(0, 1, (B, S, S, 3)).astype(np.float32)
+labels = rng.integers(0, 4, (B, S, S)).astype(np.int32)
+mine = process_local_indices(B, mesh)
+batch = global_batch_from_local(
+    (images[mine], labels[mine]), mesh, global_batch=B
+)
+
+step = make_train_step(DiceCELoss(ignore_index=3), accum_steps=2)
+loss = None
+with mesh:
+    for _ in range(2):
+        state, loss = step(state, batch)
+loss = float(loss)
+assert_same_across_processes(loss, mesh, name="train loss")
+print(f"LOSS {PID} {loss!r}", flush=True)

@@ -1,0 +1,126 @@
+"""Multi-host data parallelism (parallel/multihost.py).
+
+The reference has no distributed training at all (reference
+utils/training.py:11-16); the TPU-native scale-out story is GSPMD over
+a global mesh with per-process host data feeding (SURVEY.md §5.8). The
+heavyweight test here spawns TWO real separate JAX processes in a gloo
+CPU cluster (2 local fake devices each → a 4-device global mesh) and
+pins the multi-process train step against the single-process 4-device
+step on identical data — same program, same loss.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _single_process_reference_loss() -> float:
+    """The exact worker computation on a single-process 4-device mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.losses import DiceCELoss
+    from image_segmentation_tpu.models import UNet
+    from image_segmentation_tpu.parallel.mesh import (
+        get_mesh,
+        replicate,
+        shard_batch,
+    )
+    from image_segmentation_tpu.train import (
+        create_train_state,
+        make_train_step,
+    )
+    from image_segmentation_tpu.train.state import make_adamw
+
+    B, S = 8, 32
+    mesh = get_mesh(jax.devices()[:4])
+    state = create_train_state(
+        UNet(num_classes=4, base=8), jax.random.PRNGKey(0),
+        jnp.zeros((1, S, S, 3)), make_adamw(learning_rate=1e-3),
+    )
+    state = replicate(state, mesh)
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 1, (B, S, S, 3)).astype(np.float32)
+    labels = rng.integers(0, 4, (B, S, S)).astype(np.int32)
+    batch = shard_batch((images, labels), mesh)
+    step = make_train_step(DiceCELoss(ignore_index=3), accum_steps=2)
+    loss = None
+    with mesh:
+        for _ in range(2):
+            state, loss = step(state, batch)
+    return float(loss)
+
+
+def test_two_process_train_step_matches_single_process():
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # worker sets its own
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=REPO,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    losses = {}
+    for out, p in zip(outs, procs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+        for line in out.splitlines():
+            if line.startswith("LOSS "):
+                _, pid, val = line.split()
+                losses[int(pid)] = float(val)
+    assert set(losses) == {0, 1}, f"missing LOSS lines:\n{outs}"
+    # replicated loss identical across processes (assert_same_across_
+    # processes already tripwired inside the workers)
+    assert losses[0] == losses[1]
+    want = _single_process_reference_loss()
+    # same program, same data; only the cross-process psum transport
+    # differs -> tight float32 tolerance
+    assert np.isclose(losses[0], want, rtol=2e-5, atol=1e-6), (
+        losses[0], want,
+    )
+
+
+def test_process_local_indices_partition():
+    """On a single-process mesh the helpers degrade to the single-host
+    path: every index is local and the assembled arrays equal a plain
+    shard_batch."""
+    import jax
+
+    from image_segmentation_tpu.parallel.mesh import get_mesh
+    from image_segmentation_tpu.parallel.multihost import (
+        global_batch_from_local,
+        process_local_indices,
+    )
+
+    mesh = get_mesh(jax.devices()[:4])
+    idx = process_local_indices(8, mesh)
+    assert idx.tolist() == list(range(8))
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    g = global_batch_from_local(x[idx], mesh, global_batch=8)
+    assert g.shape == (8, 3)
+    np.testing.assert_array_equal(np.asarray(g), x)

@@ -132,7 +132,7 @@ def test_run_cli_on_prepared_tree(pet_tree, tmp_path):
     res = main([
         "--config", "unet_noaug", "--data-root", pet_tree,
         "--epochs", "1", "--batch-size", "2", "--target-size", "32",
-        "--save-dir", str(tmp_path),
+        "--save-dir", str(tmp_path), "--max-devices", "1",
     ])
     assert len(res.history["train_loss"]) == 1
     assert np.isfinite(res.history["train_loss"][0])

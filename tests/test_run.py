@@ -13,10 +13,14 @@ pytestmark = pytest.mark.slow
 
 
 def test_unet_noaug_end_to_end(tmp_path):
+    # --max-devices 2 keeps run.py's data-parallel mesh branch covered
+    # while bounding the in-process CPU collective rendezvous (8-way
+    # fake-device reductions abort on a ~40s deadline under xdist
+    # contention; full DP semantics are pinned by test_train/test_tp).
     res = main([
         "--config", "unet_noaug", "--synthetic", "8", "--epochs", "2",
         "--batch-size", "4", "--target-size", "32",
-        "--save-dir", str(tmp_path),
+        "--save-dir", str(tmp_path), "--max-devices", "2",
     ])
     assert len(res.history["train_loss"]) == 2
     assert os.path.isdir(tmp_path / "unet_noaug")
@@ -28,13 +32,13 @@ def test_two_stage_autoencoder(tmp_path):
     r1 = main([
         "--config", "recon_ae", "--synthetic", "6", "--epochs", "1",
         "--batch-size", "2", "--target-size", "32",
-        "--save-dir", str(tmp_path),
+        "--save-dir", str(tmp_path), "--max-devices", "1",
     ])
     assert "loss" in r1.best
     r2 = main([
         "--config", "autoencoder", "--synthetic", "6", "--epochs", "1",
         "--batch-size", "2", "--target-size", "32",
-        "--save-dir", str(tmp_path),
+        "--save-dir", str(tmp_path), "--max-devices", "1",
         "--pretrained-encoder", str(tmp_path / "recon_ae"),
     ])
     assert 0 <= r2.best["miou"] <= 1
@@ -60,12 +64,13 @@ def test_evaluate_checkpoint(tmp_path):
     res = main([
         "--config", "unet_noaug", "--synthetic", "8", "--epochs", "2",
         "--batch-size", "4", "--target-size", "32",
-        "--save-dir", str(tmp_path),
+        "--save-dir", str(tmp_path), "--max-devices", "1",
     ])
     ev = main([
         "--config", "unet_noaug", "--synthetic", "8",
         "--batch-size", "4", "--target-size", "32",
         "--evaluate", str(tmp_path / "unet_noaug"), "--split", "Val",
+        "--max-devices", "1",
     ])
     assert abs(ev["dice"] - res.best["dice"]) < 1e-4
     assert abs(ev["iou"] - res.best["miou"]) < 1e-4
@@ -74,7 +79,7 @@ def test_evaluate_checkpoint(tmp_path):
         "--config", "unet_noaug", "--synthetic", "8",
         "--batch-size", "4", "--target-size", "32",
         "--evaluate", str(tmp_path / "MO_unet_noaug"), "--split", "Test",
-        "--eval-protocol", "host",
+        "--eval-protocol", "host", "--max-devices", "1",
     ])
     for k in ("loss", "acc", "dice", "iou"):
         assert k in ev2
@@ -91,12 +96,13 @@ def test_evaluate_reconstruction(tmp_path):
     r1 = main([
         "--config", "recon_ae", "--synthetic", "6", "--epochs", "1",
         "--batch-size", "2", "--target-size", "32",
-        "--save-dir", str(tmp_path),
+        "--save-dir", str(tmp_path), "--max-devices", "1",
     ])
     ev = main([
         "--config", "recon_ae", "--synthetic", "6",
         "--batch-size", "2", "--target-size", "32",
         "--evaluate", str(tmp_path / "recon_ae"), "--split", "Val",
+        "--max-devices", "1",
     ])
     assert abs(ev["loss"] - r1.best["loss"]) < 1e-5
 
@@ -121,6 +127,6 @@ def test_lr_schedule_cosine(tmp_path):
         "--config", "unet_noaug", "--synthetic", "8", "--epochs", "2",
         "--batch-size", "4", "--target-size", "32",
         "--save-dir", str(tmp_path), "--lr-schedule", "cosine",
-        "--warmup-steps", "2",
+        "--warmup-steps", "2", "--max-devices", "1",
     ])
     assert len(res.history["train_loss"]) == 2
