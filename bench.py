@@ -34,6 +34,14 @@ import numpy as np
 # reproduce: python benchmarks/reference_anchor.py --mode jax-samechip).
 MEASURED_ANCHOR_IMG_PER_SEC = 36.29
 
+# Reference webapp serving path measured on this host: CPU-pinned
+# (reference segmentation_webapp/app.py:26), batch-1 no_grad forward at
+# its own TARGET_SIZE=224 incl. geometry + argmax. 975.76 ms p50 =
+# 1.025 req/s (BASELINE_MEASURED.md; reproduce:
+# python benchmarks/reference_anchor.py --mode torch-serve).
+REFERENCE_SERVE_REQ_PER_SEC = 1.025
+REFERENCE_SERVE_P50_MS = 975.76
+
 
 def wait_for_backend() -> None:
     """Wait (bounded) for a usable JAX backend before the main process
@@ -93,12 +101,14 @@ def bench_serve(requests: int, concurrency: int) -> None:
     """Serving latency/throughput: single-stream p50 latency and the
     request rate under `concurrency` client threads through the
     BatchingEngine (the production serving path, serve/batching.py).
-    vs_baseline = concurrent rate / UNBATCHED single-stream rate — the
-    speedup request micro-batching buys over the reference's
-    one-forward-per-request serving model (reference
-    segmentation_webapp/app.py:281-288, which has no batching). The
-    denominator goes through InferenceEngine directly so it does not pay
-    the BatchingEngine's max_wait window (that would overstate the
+    vs_baseline = concurrent rate / the MEASURED reference serving
+    anchor (REFERENCE_SERVE_REQ_PER_SEC: the reference webapp's
+    CPU-pinned batch-1 per-request path at its own 224px config,
+    reference segmentation_webapp/app.py:26,220-326). batching_speedup
+    separately reports concurrent rate / our own UNBATCHED single-stream
+    rate — what request micro-batching buys over one-forward-per-request;
+    its denominator goes through InferenceEngine directly so it does not
+    pay the BatchingEngine's max_wait window (that would overstate the
     batching win)."""
     import concurrent.futures
     import statistics
@@ -150,9 +160,11 @@ def bench_serve(requests: int, concurrency: int) -> None:
                 "metric": "serve_requests_per_sec_concurrency%d" % concurrency,
                 "value": round(conc_rps, 2),
                 "unit": "requests/sec",
-                "vs_baseline": round(conc_rps / single_rps, 3),
+                "vs_baseline": round(conc_rps / REFERENCE_SERVE_REQ_PER_SEC, 3),
+                "batching_speedup": round(conc_rps / single_rps, 3),
                 "single_stream_p50_ms": round(p50_ms, 2),
                 "single_stream_rps": round(single_rps, 2),
+                "reference_cpu_p50_ms": REFERENCE_SERVE_P50_MS,
             }
         )
     )

@@ -20,8 +20,16 @@ driven by `/root/reference/utils/training.py:18-64`) two ways:
    tiny micro-batches, one device round-trip per micro-batch for the loss
    print, `utils/training.py:58`) and only swaps cuDNN for XLA.
 
-Both print one JSON line; results are recorded in BASELINE_MEASURED.md and
-pinned (with provenance) as the anchor in bench.py.
+3. ``--mode torch-serve``: the reference webapp's per-REQUEST serving
+   path (`segmentation_webapp/app.py:220-326`): CPU-pinned (app.py:26),
+   one request = aspect-preserving resize+pad to TARGET_SIZE=224
+   (app.py:26-30,277), a no_grad batch-1 forward, reverse geometry back
+   to the original resolution, argmax. This anchors `bench.py --serve`'s
+   vs_reference field — the reference has no request batching at all
+   (one eager forward per request).
+
+All modes print one JSON line; results are recorded in
+BASELINE_MEASURED.md and pinned (with provenance) as anchors in bench.py.
 """
 from __future__ import annotations
 
@@ -39,16 +47,16 @@ SIZE = 256           # TARGET_SIZE=256 for UNet (unet.ipynb cell 0)
 NUM_CLASSES = 4
 
 
-def run_torch_cpu(steps: int) -> dict:
-    import numpy as np
+def _build_ref_unet():
+    """Reference UNet topology (unet/unet.py:4-105): double-conv stem at
+    64ch, four maxpool+double-conv downs to 1024ch, four transpose-conv
+    ups with skip concat, 1x1 head. Re-expressed compactly for
+    measurement only."""
     import torch
     from torch import nn
 
     torch.manual_seed(0)
 
-    # Reference UNet topology (unet/unet.py:4-105): double-conv stem at 64ch,
-    # four maxpool+double-conv downs to 1024ch, four transpose-conv ups with
-    # skip concat, 1x1 head. Re-expressed compactly for measurement only.
     def dconv(cin, cout):
         return nn.Sequential(
             nn.Conv2d(cin, cout, 3, padding=1), nn.BatchNorm2d(cout), nn.ReLU(),
@@ -82,7 +90,15 @@ def run_torch_cpu(steps: int) -> dict:
                 y = c(torch.cat([skip, t(y)], dim=1))
             return self.head(y)
 
-    model = RefUNet()
+    return RefUNet()
+
+
+def run_torch_cpu(steps: int) -> dict:
+    import numpy as np
+    import torch
+    from torch import nn
+
+    model = _build_ref_unet()
     opt = torch.optim.AdamW(model.parameters(), lr=1e-3, weight_decay=0.01)
     ce = nn.CrossEntropyLoss()
 
@@ -133,6 +149,57 @@ def run_torch_cpu(steps: int) -> dict:
         "images_per_sec": round(MICRO_BATCH * steps / dt, 3),
         "micro_batch": MICRO_BATCH,
         "steps": steps,
+    }
+
+
+def run_torch_serve(requests: int) -> dict:
+    """Reference serving path, one request at a time on CPU
+    (segmentation_webapp/app.py:220-326, TARGET_SIZE=224 app.py:26-30):
+    resize+pad -> no_grad batch-1 forward -> reverse geometry -> argmax."""
+    import statistics
+
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    model = _build_ref_unet().eval()
+    T = 224  # webapp TARGET_SIZE (app.py:26)
+    rng = np.random.default_rng(0)
+    img = torch.from_numpy(
+        rng.uniform(0, 1, (3, 300, 400)).astype("float32")
+    )
+
+    def request(img):
+        # resize_with_padding (utils/utils.py:13-49): longer side -> T,
+        # bilinear, centered zero pad
+        c, h, w = img.shape
+        scale = T / max(h, w)
+        nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
+        resized = F.interpolate(
+            img[None], size=(nh, nw), mode="bilinear", align_corners=False
+        )
+        pt, pl = (T - nh) // 2, (T - nw) // 2
+        x = F.pad(resized, (pl, T - nw - pl, pt, T - nh - pt))
+        with torch.no_grad():
+            logits = model(x)
+        # reverse_resize_and_padding (utils/utils.py:51-75) + argmax
+        core = logits[:, :, pt:pt + nh, pl:pl + nw]
+        back = F.interpolate(core, size=(h, w), mode="bilinear",
+                             align_corners=False)
+        return back.argmax(dim=1).squeeze(0).numpy()
+
+    request(img)  # warm
+    lat = []
+    for _ in range(requests):
+        t0 = time.perf_counter()
+        request(img)
+        lat.append(time.perf_counter() - t0)
+    p50 = statistics.median(lat)
+    return {
+        "mode": "torch-serve-cpu-batch1-224px",
+        "p50_ms": round(p50 * 1e3, 2),
+        "requests_per_sec": round(1.0 / p50, 3),
+        "requests": requests,
     }
 
 
@@ -203,11 +270,13 @@ def run_jax_samechip(steps: int) -> dict:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", choices=["torch-cpu", "jax-samechip"], required=True)
+    p.add_argument("--mode", choices=["torch-cpu", "jax-samechip", "torch-serve"], required=True)
     p.add_argument("--steps", type=int, default=0, help="0 = mode default")
     args = p.parse_args()
     if args.mode == "torch-cpu":
         out = run_torch_cpu(args.steps or 4)
+    elif args.mode == "torch-serve":
+        out = run_torch_serve(args.steps or 12)
     else:
         out = run_jax_samechip(args.steps or 64)
     print(json.dumps(out))
