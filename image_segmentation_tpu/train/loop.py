@@ -395,6 +395,16 @@ def fit(
     used for evaluation — e.g. merging decoder-only params back into the
     full model when training on cached frozen-encoder features
     (train.feature_cache)."""
+    if jax.process_count() > 1:
+        # fit() is a single-controller loop (host-side data upload,
+        # write-behind checkpoint fetches of fully-addressable state).
+        # Multi-process training uses the same jitted step with the
+        # parallel.multihost helpers — see EXAMPLES.md §8.
+        raise NotImplementedError(
+            "fit() is single-process; for multi-host runs drive "
+            "make_train_step with parallel.multihost (process-local "
+            "data feeding, global-array assembly)"
+        )
     os.makedirs(save_dir, exist_ok=True)
     ckpt_path = os.path.join(save_dir, name)
     last_path = os.path.join(save_dir, name + "_last")

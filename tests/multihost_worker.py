@@ -72,4 +72,17 @@ with mesh:
         state, loss = step(state, batch)
 loss = float(loss)
 assert_same_across_processes(loss, mesh, name="train loss")
+
+# fit() is single-controller; in a process group it must refuse loudly
+# (its host-side uploads/checkpoint fetches assume fully-addressable
+# arrays) rather than die deep inside device_put.
+from image_segmentation_tpu.train.loop import fit
+
+try:
+    fit(state, None, None, loss_fn=None, epochs=1, batch_size=1,
+        save_dir=".", name="x")
+    raise SystemExit("fit() must refuse to run multi-process")
+except NotImplementedError:
+    pass
+
 print(f"LOSS {PID} {loss!r}", flush=True)

@@ -349,6 +349,33 @@ class TestFitLoop:
         # history from the restored checkpoint epochs must be preserved
         assert res2.history["train_loss"][0] == res.history["train_loss"][0]
 
+    def test_fit_is_bit_deterministic(self, tmp_path):
+        """Two fits from the same seed and data produce IDENTICAL final
+        parameters — the reproducibility contract a framework needs for
+        debugging and regression bisection (the reference, eager torch
+        on GPU, cannot promise this; XLA's static program can)."""
+        loss_fn = DiceCELoss(ignore_index=None)
+        results = []
+        for run in ("a", "b"):
+            train_ds = materialize(synthetic_dataset(n=8), 32)
+            val_ds = materialize(
+                synthetic_dataset(n=4, seed=1), 32, keep_orig_labels=True
+            )
+            _, state = small_state()
+            res = fit(
+                state, train_ds, val_ds, loss_fn=loss_fn, epochs=2,
+                batch_size=4, save_dir=str(tmp_path / run), name="det",
+                eval_loss_cfg=loss_fn, seed=7, verbose=False,
+            )
+            results.append(res)
+        pa = jax.tree.leaves(results[0].state.params)
+        pb = jax.tree.leaves(results[1].state.params)
+        for a, b in zip(pa, pb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert results[0].history["train_loss"] == (
+            results[1].history["train_loss"]
+        )
+
     def test_fit_streaming_fallback_matches_contract(self, tmp_path,
                                                      monkeypatch):
         """ISTPU_TRAIN_DEVICE_CACHE_MB=0 forces the per-batch streaming
