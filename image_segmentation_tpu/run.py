@@ -65,6 +65,9 @@ def main(argv=None):
     p.add_argument("--target-size", type=int, default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile-dir", default=None)
+    p.add_argument("--tensorboard", default=None, metavar="DIR",
+                   help="write per-epoch TensorBoard scalars to "
+                        "DIR/<config-name> (needs tensorboardX)")
     p.add_argument("--nan-checks", action="store_true")
     p.add_argument("--pretrained-encoder", default=None,
                    help="recon AE checkpoint for encoder transfer")
@@ -258,17 +261,23 @@ def main(argv=None):
             print(f"[run] {args.split} eval: mse={mse:.6f}")
             return {"loss": mse}
         accum = max(1, min(cfg.accum_steps, len(train_data) // cfg.batch_size))
-        result = fit_reconstruction(
-            state, train_data, val_data,
-            originals=originals,
-            epochs=cfg.epochs,
-            batch_size=cfg.batch_size * accum,
-            accum_steps=accum,
-            save_dir=args.save_dir,
-            name=cfg.name,
-            resume=args.resume,
-            seed=cfg.seed,
-        )
+        tb = _make_tb_logger(args, cfg)
+        try:
+            result = fit_reconstruction(
+                state, train_data, val_data,
+                originals=originals,
+                epochs=cfg.epochs,
+                batch_size=cfg.batch_size * accum,
+                accum_steps=accum,
+                save_dir=args.save_dir,
+                name=cfg.name,
+                resume=args.resume,
+                seed=cfg.seed,
+                metrics_logger=tb,
+            )
+        finally:
+            if tb is not None:
+                tb.close()
         print(f"[run] done: best {result.best}")
         return result
 
@@ -544,32 +553,50 @@ def main(argv=None):
         else:
             print("[run] microbatch not divisible by any device count; "
                   "running single-device")
-    with trace_context(args.profile_dir):
-        result = fit(
-            state,
-            train_data,
-            val_data,
-            loss_fn=loss_fn,
-            epochs=cfg.epochs,
-            batch_size=step_batch,
-            accum_steps=accum,
-            save_dir=args.save_dir,
-            name=cfg.name,
-            host_loss_fn=host_loss,
-            num_classes=cfg.num_classes,
-            eval_ignore_index=cfg.eval_ignore_index,
-            eval_batch_size=cfg.batch_size,
-            mesh=mesh,
-            resume=args.resume,
-            seed=cfg.seed,
-            augment_fn=augment_fn,
-            eval_state_fn=eval_state_fn,
-            eval_protocol=args.eval_protocol,
-            eval_loss_cfg=val_loss_fn,
-            checkpoint_every=args.ckpt_every,
-        )
+    tb = _make_tb_logger(args, cfg)
+    try:
+        with trace_context(args.profile_dir):
+            result = fit(
+                state,
+                train_data,
+                val_data,
+                loss_fn=loss_fn,
+                epochs=cfg.epochs,
+                batch_size=step_batch,
+                accum_steps=accum,
+                save_dir=args.save_dir,
+                name=cfg.name,
+                host_loss_fn=host_loss,
+                num_classes=cfg.num_classes,
+                eval_ignore_index=cfg.eval_ignore_index,
+                eval_batch_size=cfg.batch_size,
+                mesh=mesh,
+                resume=args.resume,
+                seed=cfg.seed,
+                augment_fn=augment_fn,
+                eval_state_fn=eval_state_fn,
+                eval_protocol=args.eval_protocol,
+                eval_loss_cfg=val_loss_fn,
+                checkpoint_every=args.ckpt_every,
+                metrics_logger=tb,
+            )
+    finally:
+        if tb is not None:
+            tb.close()
     print(f"[run] done: best {result.best}")
     return result
+
+
+def _make_tb_logger(args, cfg):
+    """--tensorboard DIR -> TensorBoardLogger(DIR/<config-name>), None
+    when the flag is absent."""
+    if not getattr(args, "tensorboard", None):
+        return None
+    import os
+
+    from image_segmentation_tpu.utils.tb import TensorBoardLogger
+
+    return TensorBoardLogger(os.path.join(args.tensorboard, cfg.name))
 
 
 if __name__ == "__main__":

@@ -379,6 +379,7 @@ def fit(
     eval_protocol: str = "auto",
     eval_loss_cfg=None,
     checkpoint_every: int = 1,
+    metrics_logger=None,
 ) -> FitResult:
     """Train with per-epoch original-resolution validation and
     best-val-mIoU checkpointing (reference utils/training.py:453-618).
@@ -390,6 +391,10 @@ def fit(
 
     `augment_fn(images, labels, key) -> (images, labels)` applies
     on-device online augmentation per batch (ops.augment).
+
+    `metrics_logger` (e.g. utils.tb.TensorBoardLogger) receives one
+    `log(epoch_number, scalars)` call per epoch with the same values
+    appended to `history` — dashboarding off the training path.
 
     `eval_state_fn(state) -> state'` maps the training state to the one
     used for evaluation — e.g. merging decoder-only params back into the
@@ -559,6 +564,16 @@ def fit(
             history["val_per_class_iou"].append(val["per_class_iou"])
             history["epoch_time_s"].append(time.time() - t0)
             _save_history(save_dir, name, history)
+            if metrics_logger is not None:
+                metrics_logger.log(epoch + 1, {
+                    "train/loss": train_loss,
+                    "val/loss": val["loss"],
+                    "val/dice": val["dice"],
+                    "val/miou": val["iou"],
+                    "val/acc": val["acc"],
+                    "val/per_class_iou": val["per_class_iou"],
+                    "time/epoch_s": history["epoch_time_s"][-1],
+                })
 
             # Saves are ASYNC and COALESCED: one device snapshot + one
             # device→host fetch per saving epoch writes the best checkpoint,
@@ -667,6 +682,7 @@ def fit_reconstruction(
     resume: bool = False,
     seed: int = 0,
     verbose: bool = True,
+    metrics_logger=None,
 ) -> FitResult:
     """Autoencoder stage 1 (reference autoencoder.ipynb cell 0): MSE
     against the resized input, best-val-loss checkpointing.
@@ -741,6 +757,12 @@ def fit_reconstruction(
         history["val_loss"].append(val_loss)
         history["epoch_time_s"].append(time.time() - t0)
         _save_history(save_dir, name, history)
+        if metrics_logger is not None:
+            metrics_logger.log(epoch + 1, {
+                "train/mse": train_loss,
+                "val/mse": val_loss,
+                "time/epoch_s": history["epoch_time_s"][-1],
+            })
         if val_loss < best["loss"]:
             best = {"loss": val_loss}
             ckpt.save_checkpoint_async(
