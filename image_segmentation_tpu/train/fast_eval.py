@@ -214,15 +214,24 @@ def _eval_batch_core(state, inputs, metas, labels, real, canvas_hw,
     )(scores, metas)  # (B, Hc, Wc, C)
     valid = labels != FILL
     pred = jnp.argmax(inv, axis=-1)
-    count_mask = valid & real[:, None, None]
-    idx = jnp.where(
-        count_mask,
-        jnp.clip(labels, 0, num_classes - 1) * num_classes + pred,
-        num_classes * num_classes,
-    )
-    conf = jnp.bincount(
-        idx.reshape(-1), length=num_classes * num_classes + 1
-    )[:-1].reshape(num_classes, num_classes)
+
+    # Per-image confusion counts, then a masked sum over the batch. The
+    # per-image form keeps every count shard-local when the batch axis is
+    # sharded over a mesh (loop._evaluate_device's distributed eval): the
+    # only cross-device communication is the final (C, C) reduction,
+    # which GSPMD lowers to one psum.
+    def _conf_one(labels_i, pred_i, valid_i):
+        idx = jnp.where(
+            valid_i,
+            jnp.clip(labels_i, 0, num_classes - 1) * num_classes + pred_i,
+            num_classes * num_classes,
+        )
+        return jnp.bincount(
+            idx.reshape(-1), length=num_classes * num_classes + 1
+        )[:-1].reshape(num_classes, num_classes)
+
+    conf_per = jax.vmap(_conf_one)(labels, pred, valid)
+    conf = (conf_per * real[:, None, None].astype(conf_per.dtype)).sum(axis=0)
     if loss_fn is not None:
         losses = jax.vmap(loss_fn)(inv, labels, valid)
     else:
@@ -282,5 +291,59 @@ def _build_eval_epoch_fn(canvas_hw: Tuple[int, int], num_classes: int,
 def get_eval_epoch_fn(canvas_hw, num_classes: int, loss_cfg=None):
     """Public cached accessor for the single-dispatch epoch evaluator."""
     return _build_eval_epoch_fn(
+        (int(canvas_hw[0]), int(canvas_hw[1])), int(num_classes), loss_cfg
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _build_eval_epoch_prebatched_fn(canvas_hw: Tuple[int, int],
+                                    num_classes: int, loss_cfg):
+    """Whole-epoch evaluator over PRE-BATCHED (nb, B, ...) arrays — the
+    distributed-eval form.
+
+    Unlike `_build_eval_epoch_fn` there are no on-device gathers: the
+    caller lays the epoch out as (nb, B, ...) and uploads it with the
+    sharding it wants — under a mesh, batch rows sharded along 'data'
+    (`NamedSharding(mesh, P(None, 'data'))`). The jitted program is
+    mesh-agnostic; GSPMD partitions the scan body from the input
+    shardings, so each device evaluates B/n_data images per step
+    (forward, inverse geometry, masked loss, per-image confusion all
+    shard-local) and the only collectives are the final (C, C) confusion
+    psum and the loss all-gather. The reference protocol has no
+    distributed evaluation at all (it is single-device,
+    reference utils/training.py:67-121); under data-parallel training
+    this removes eval as the serial Amdahl fraction of fit().
+
+    eval_epoch(state, b_inputs, b_metas, b_canvases, real) ->
+      (conf (C, C) i32, losses (nb, B) f32)
+    with b_inputs a tuple of (nb, B, ...) arrays, b_metas a ResizeMeta of
+    (nb, B) arrays, b_canvases (nb, B, Hc, Wc) uint8 and real (nb, B)
+    bool masking padded rows out of the counts.
+    """
+    loss_fn = make_masked_loss(loss_cfg) if loss_cfg is not None else None
+
+    @jax.jit
+    def eval_epoch(state, b_inputs, b_metas, b_canvases, real):
+        def body(conf, per):
+            inputs, metas, labels, rr = per
+            bconf, losses = _eval_batch_core(
+                state, inputs, metas, labels.astype(jnp.int32), rr,
+                canvas_hw, num_classes, loss_fn,
+            )
+            return conf + bconf, losses
+
+        conf0 = jnp.zeros((num_classes, num_classes), jnp.int32)
+        conf, losses = jax.lax.scan(
+            body, conf0, (b_inputs, b_metas, b_canvases, real)
+        )
+        return conf, losses
+
+    return eval_epoch
+
+
+def get_eval_epoch_prebatched_fn(canvas_hw, num_classes: int, loss_cfg=None):
+    """Public cached accessor for the pre-batched (distributed) epoch
+    evaluator."""
+    return _build_eval_epoch_prebatched_fn(
         (int(canvas_hw[0]), int(canvas_hw[1])), int(num_classes), loss_cfg
     )

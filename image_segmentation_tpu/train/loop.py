@@ -88,6 +88,7 @@ def _evaluate_device(
     agg: MetricsHistory,
     batch_size: int = 8,
     verbose: bool = True,
+    mesh=None,
 ):
     """Device-protocol original-resolution eval (see train/fast_eval.py).
 
@@ -96,7 +97,17 @@ def _evaluate_device(
     epochs — and every epoch is a single jitted dispatch (a lax.scan over
     batches); only a (C, C) confusion and the per-image losses come back.
     Larger sets fall back to per-batch streaming, still fetching only
-    (C, C) + (B,) per batch."""
+    (C, C) + (B,) per batch.
+
+    Under a `mesh` with a non-trivial 'data' axis the protocol runs
+    DISTRIBUTED: the epoch is laid out pre-batched as (nb, B, ...) with
+    batch rows sharded along 'data' (each device stores and evaluates
+    B/n_data images per step); the state must already be mesh-placed
+    (fit() replicates it). Results are bit-identical to the single-device
+    path — the confusion counts are integers and each per-image loss is
+    computed by one device (tests/test_fast_eval.py pins this on 8 fake
+    devices). The reference protocol is single-device only
+    (reference utils/training.py:67-121)."""
     from image_segmentation_tpu.train import fast_eval
 
     if val_data.label_canvases is None:
@@ -106,15 +117,21 @@ def _evaluate_device(
     canvases = val_data.label_canvases
     agg.reset()
     n = len(val_data)
+    n_data = 1 if mesh is None else int(dict(mesh.shape).get("data", 1))
+    sharded = n_data > 1
     # Padded batch-index matrix (nb, B): tail batch repeats its last real
     # index; `real` masks the repeats out of the counts.
     # Auto-shrink the eval batch when the canvases are huge: the jitted
     # evaluator materialises a (B, Hc, Wc, C+1) float32 inverse per batch,
     # and one outlier-large validation image sets Hc x Wc for everyone.
+    # Under a mesh the per-batch budget scales with the data axis (the
+    # inverse canvases are sharded over it) and B stays a multiple of it.
     hc, wc = canvases.shape[1:]
     batch_bytes = lambda b: b * hc * wc * (num_classes + 1) * 4
-    while batch_size > 1 and batch_bytes(batch_size) > 2**31:
-        batch_size //= 2
+    k = max(1, batch_size // n_data)
+    while k > 1 and batch_bytes(k * n_data) > 2**31 * n_data:
+        k //= 2
+    batch_size = k * n_data
     nb = -(-n // batch_size)
     idx_mat = np.minimum(
         np.arange(nb * batch_size).reshape(nb, batch_size), n - 1
@@ -128,18 +145,20 @@ def _evaluate_device(
         + (val_data.heatmaps.nbytes if val_data.has_heatmaps else 0)
     )
     results = []
-    if total_bytes <= cache_mb * 2**20:
-        if val_data.device_eval_cache is None:
+    if total_bytes <= cache_mb * 2**20 and not sharded:
+        cache_key = ("flat",)
+        if (val_data.device_eval_cache is None
+                or val_data.device_eval_cache[0] != cache_key):
             dev_inputs = (jnp.asarray(val_data.images),)
             if val_data.has_heatmaps:
                 dev_inputs += (jnp.asarray(val_data.heatmaps),)
-            val_data.device_eval_cache = (
+            val_data.device_eval_cache = (cache_key, (
                 dev_inputs,
                 G.ResizeMeta(*(jnp.asarray(np.asarray(f))
                                for f in val_data.metas)),
                 jnp.asarray(canvases),
-            )
-        dev_inputs, dev_metas, dev_canvases = val_data.device_eval_cache
+            ))
+        dev_inputs, dev_metas, dev_canvases = val_data.device_eval_cache[1]
         eval_epoch = fast_eval.get_eval_epoch_fn(
             canvases.shape[1:], num_classes, loss_cfg
         )
@@ -153,22 +172,68 @@ def _evaluate_device(
              losses[b], int(counts[b]))
             for b in range(nb)
         ]
+    elif total_bytes <= cache_mb * 2**20 and sharded:
+        # Distributed eval: pre-batched (nb, B, ...) layout, batch rows
+        # sharded along 'data'. The epoch order is static (sequential
+        # indices), so the layout is built once on the host and cached
+        # per (mesh layout, batch size); re-evaluations each epoch reuse
+        # the upload like the flat path does.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cache_key = ("sharded", tuple(sorted(dict(mesh.shape).items())),
+                     batch_size)
+        if (val_data.device_eval_cache is None
+                or val_data.device_eval_cache[0] != cache_key):
+            row_sh = NamedSharding(mesh, P(None, "data"))
+
+            def _put(x):
+                return jax.device_put(np.asarray(x)[idx_mat], row_sh)
+
+            b_inputs = (_put(val_data.images),)
+            if val_data.has_heatmaps:
+                b_inputs += (_put(val_data.heatmaps),)
+            val_data.device_eval_cache = (cache_key, (
+                b_inputs,
+                G.ResizeMeta(*(_put(f) for f in val_data.metas)),
+                _put(canvases),
+                jax.device_put(real_mat, row_sh),
+            ))
+        b_inputs, b_metas, b_canvases, b_real = val_data.device_eval_cache[1]
+        eval_epoch = fast_eval.get_eval_epoch_prebatched_fn(
+            canvases.shape[1:], num_classes, loss_cfg
+        )
+        conf, losses = eval_epoch(state, b_inputs, b_metas, b_canvases, b_real)
+        losses = np.asarray(losses)
+        results = [
+            (np.asarray(conf) if b == 0 else np.zeros_like(np.asarray(conf)),
+             losses[b], int(counts[b]))
+            for b in range(nb)
+        ]
     else:
         eval_batch = fast_eval.get_eval_batch_fn(
             canvases.shape[1:], num_classes, loss_cfg
         )
+        if sharded:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            row_sh = NamedSharding(mesh, P("data"))
+            _stage = lambda x: jax.device_put(jnp.asarray(x), row_sh)
+        else:
+            _stage = jax.numpy.asarray
         for b in range(nb):
             ii = idx_mat[b]
             inputs = (val_data.images[ii],)
             if val_data.has_heatmaps:
                 inputs = (val_data.images[ii], val_data.heatmaps[ii])
             metas = G.ResizeMeta(*(np.asarray(f)[ii] for f in val_data.metas))
+            if sharded:
+                metas = G.ResizeMeta(*(_stage(f) for f in metas))
             conf, losses = eval_batch(
                 state,
-                tuple(jax.numpy.asarray(x) for x in inputs),
+                tuple(_stage(x) for x in inputs),
                 metas,
-                jax.numpy.asarray(canvases[ii]),
-                jax.numpy.asarray(real_mat[b]),
+                _stage(canvases[ii]),
+                _stage(real_mat[b]),
             )
             results.append((conf, losses, int(counts[b])))
     losses_all = []
@@ -206,6 +271,7 @@ def evaluate(
     verbose: bool = True,
     protocol: str = "auto",
     loss_cfg=None,
+    mesh=None,
 ):
     """Original-resolution evaluation (reference utils/training.py:67-121).
 
@@ -213,10 +279,13 @@ def evaluate(
       * 'device' — inverse geometry, argmax, masked loss and confusion all
         on device with static canvas shapes (train/fast_eval.py); only a
         (C, C) matrix + (B,) losses cross the link per batch. Needs
-        `loss_cfg` (a frozen loss dataclass) for the val loss.
+        `loss_cfg` (a frozen loss dataclass) for the val loss. With a
+        `mesh` (data axis > 1) the protocol runs distributed: images
+        sharded over 'data', per-device confusion psum'd by GSPMD —
+        results identical to single-device.
       * 'host' — device forward, float64 host inverse + loss + confusion
         per image. The exactness reference; slow (per-image score
-        transfer).
+        transfer); ignores `mesh`.
     'auto' picks 'device' when a `loss_cfg` is given (or no loss is
     wanted), else 'host'. Tests pin the two protocols to each other.
     """
@@ -238,7 +307,7 @@ def evaluate(
             )
         return _evaluate_device(
             state, val_data, loss_cfg=loss_cfg, num_classes=num_classes,
-            batch_size=batch_size, agg=agg, verbose=verbose,
+            batch_size=batch_size, agg=agg, verbose=verbose, mesh=mesh,
         )
     if forward is None:
         # module-level singleton: jit caches per (apply_fn, shapes), so one
@@ -554,6 +623,7 @@ def fit(
                 verbose=verbose,
                 protocol=eval_protocol,
                 loss_cfg=eval_loss_cfg,
+                mesh=mesh,
             )
 
             history["train_loss"].append(train_loss)

@@ -178,3 +178,69 @@ def test_device_protocol_no_loss_cfg(tiny_state):
                    verbose=False)
     assert np.isnan(out["loss"])
     assert 0.0 <= out["iou"] <= 1.0
+
+
+class TestDistributedEval:
+    """Mesh-sharded original-resolution eval (loop._evaluate_device with
+    mesh) must reproduce the single-device protocol exactly: integer
+    confusion counts are communicated via one GSPMD psum and each
+    per-image loss is computed wholly on one device, so there is no
+    cross-device float reassociation to tolerate."""
+
+    def _mesh(self, n):
+        from image_segmentation_tpu.parallel.mesh import get_mesh
+
+        return get_mesh(jax.devices()[:n])
+
+    def test_sharded_epoch_matches_single_device(self, tiny_state):
+        from image_segmentation_tpu.parallel.mesh import replicate
+
+        cfg = DiceCELoss(ignore_index=3, smooth_dice=1e-5)
+        ref = evaluate(tiny_state, _synthetic_val(n=11, seed=7),
+                       loss_cfg=cfg, protocol="device", batch_size=4,
+                       verbose=False)
+        mesh = self._mesh(4)
+        out = evaluate(replicate(tiny_state, mesh),
+                       _synthetic_val(n=11, seed=7), loss_cfg=cfg,
+                       protocol="device", batch_size=4, verbose=False,
+                       mesh=mesh)
+        assert abs(ref["loss"] - out["loss"]) < 1e-6
+        assert ref["dice"] == pytest.approx(out["dice"], abs=1e-9)
+        assert ref["iou"] == pytest.approx(out["iou"], abs=1e-9)
+        np.testing.assert_allclose(ref["per_class_iou"],
+                                   out["per_class_iou"], atol=1e-9)
+
+    def test_sharded_batchsize_rounds_to_data_axis(self, tiny_state):
+        """A batch size that does not divide the data axis is rounded to a
+        multiple; padded rows stay out of the counts."""
+        from image_segmentation_tpu.parallel.mesh import replicate
+
+        cfg = DiceCELoss(ignore_index=3, smooth_dice=1e-5)
+        ref = evaluate(tiny_state, _synthetic_val(n=9, seed=8),
+                       loss_cfg=cfg, protocol="device", batch_size=3,
+                       verbose=False)
+        mesh = self._mesh(8)
+        out = evaluate(replicate(tiny_state, mesh),
+                       _synthetic_val(n=9, seed=8), loss_cfg=cfg,
+                       protocol="device", batch_size=3, verbose=False,
+                       mesh=mesh)  # rounds up to B=8
+        assert abs(ref["loss"] - out["loss"]) < 1e-6
+        assert ref["iou"] == pytest.approx(out["iou"], abs=1e-9)
+
+    def test_sharded_streaming_fallback(self, tiny_state, monkeypatch):
+        """Oversized val sets stream per-batch; under a mesh each batch is
+        device_put with the 'data' sharding and must score identically."""
+        from image_segmentation_tpu.parallel.mesh import replicate
+
+        cfg = DiceCELoss(ignore_index=3, smooth_dice=1e-5)
+        ref = evaluate(tiny_state, _synthetic_val(n=10, seed=9),
+                       loss_cfg=cfg, protocol="device", batch_size=4,
+                       verbose=False)
+        monkeypatch.setenv("ISTPU_EVAL_DEVICE_CACHE_MB", "0")
+        mesh = self._mesh(4)
+        out = evaluate(replicate(tiny_state, mesh),
+                       _synthetic_val(n=10, seed=9), loss_cfg=cfg,
+                       protocol="device", batch_size=4, verbose=False,
+                       mesh=mesh)
+        assert abs(ref["loss"] - out["loss"]) < 1e-6
+        assert ref["iou"] == pytest.approx(out["iou"], abs=1e-9)
