@@ -361,11 +361,21 @@ def main(argv=None):
         print(f"[run] evaluating {args.evaluate} on {args.split} "
               f"({len(val_raw)} images, protocol={args.eval_protocol}) …")
         if args.eval_protocol == "device":
+            # multi-device platforms score distributed: batch rows
+            # sharded along 'data' (train/fast_eval.py pre-batched path)
+            n_dev = min(args.max_devices or jax.device_count(),
+                        jax.device_count())
+            eval_mesh = None
+            if n_dev > 1:
+                from image_segmentation_tpu.parallel.mesh import replicate
+
+                eval_mesh = get_mesh(jax.devices()[:n_dev])
+                state = replicate(state, eval_mesh)
             res = evaluate(
                 state, val_data, num_classes=cfg.num_classes,
                 eval_ignore_index=cfg.eval_ignore_index,
                 batch_size=cfg.batch_size, protocol="device",
-                loss_cfg=val_loss_fn,
+                loss_cfg=val_loss_fn, mesh=eval_mesh,
             )
         else:
             res = evaluate(
