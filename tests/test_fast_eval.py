@@ -244,3 +244,43 @@ class TestDistributedEval:
                        mesh=mesh)
         assert abs(ref["loss"] - out["loss"]) < 1e-6
         assert ref["iou"] == pytest.approx(out["iou"], abs=1e-9)
+
+    def test_sharded_prompt_eval_matches_single_device(self):
+        """Heatmap (prompt) datasets shard both input streams; the DiceNLL
+        masked-loss mirror must dispatch identically under the mesh."""
+        from image_segmentation_tpu.models.prompt import PromptModel
+        from image_segmentation_tpu.models.clip_vit import ClipViTConfig
+        from image_segmentation_tpu.parallel.mesh import replicate
+
+        def _prompt_val(n=6, seed=11):
+            rng = np.random.default_rng(seed)
+            items = []
+            for i in range(n):
+                h, w = int(rng.integers(28, 52)), int(rng.integers(28, 52))
+                img = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+                heat = rng.uniform(0, 1, (h, w, 1)).astype(np.float32)
+                lab = np.zeros((h, w), np.int32)
+                lab[h // 2:, :] = 1 + (i % 3)
+                items.append((img, heat, lab))
+            return materialize(ArrayDataset(items), 32,
+                               keep_orig_labels=True)
+
+        vit = ClipViTConfig(image_size=32, patch_size=16, hidden_size=64,
+                            num_layers=3, num_heads=4, mlp_dim=128)
+        model = PromptModel(num_classes=4, vit=vit, unet_base=4,
+                            skip_indices=(0, 1, 2, 3),
+                            decoder_channels=(32, 16, 8, 8, 8))
+        state = create_train_state(
+            model, jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)),
+            make_adamw(1e-3), extra_inputs=(jnp.zeros((1, 32, 32, 1)),),
+        )
+        cfg = DiceNLLLoss(ignore_index=3, apply_softmax=False,
+                          smooth_dice=1e-5)
+        ref = evaluate(state, _prompt_val(), loss_cfg=cfg,
+                       protocol="device", batch_size=4, verbose=False)
+        mesh = self._mesh(4)
+        out = evaluate(replicate(state, mesh), _prompt_val(), loss_cfg=cfg,
+                       protocol="device", batch_size=4, verbose=False,
+                       mesh=mesh)
+        assert abs(ref["loss"] - out["loss"]) < 1e-6
+        assert ref["iou"] == pytest.approx(out["iou"], abs=1e-9)
