@@ -24,6 +24,11 @@ What this module adds is the host-side contract around that program:
   make_train_step / make_train_epoch unchanged.
 - `assert_same_across_processes(x)` — cheap divergence tripwire for
   loss/metric scalars (an all-gather compare, debugging aid).
+- `process_local_batch_columns` / `global_prebatched_from_local` /
+  `replicate_result` — the same contract for DISTRIBUTED EVAL: feed the
+  (nb, B, ...) pre-batched original-resolution eval layout
+  (train/fast_eval.py) by per-process column blocks and read back the
+  replicated results.
 
 Tested by tests/test_multihost.py, which spawns REAL separate JAX
 processes on a CPU gloo cluster and pins the 2-process × 2-device train
@@ -156,6 +161,60 @@ def replicate_for_processes(tree, mesh: Mesh):
         return jax.make_array_from_process_local_data(s, x, x.shape)
 
     return jax.tree_util.tree_map(put, tree)
+
+
+def process_local_batch_columns(batch_size: int, mesh: Mesh) -> np.ndarray:
+    """Columns of the (nb, B, ...) pre-batched DISTRIBUTED EVAL layout
+    (train/fast_eval.py `get_eval_epoch_prebatched_fn`) this process must
+    feed.
+
+    The eval epoch shards its batch axis (axis 1) along 'data'; a process
+    owns a contiguous block of columns on its addressable devices and, in
+    a real run, decodes/materialises only the dataset rows referenced by
+    `idx_mat[:, cols]`. Sorted and unique, same derivation as
+    `process_local_indices` but against the (None, 'data') spec.
+    """
+    _check_divisible(batch_size, mesh)
+    s = NamedSharding(mesh, P(None, DATA_AXIS))
+    idx_map = s.devices_indices_map((1, batch_size))
+    mine: set[int] = set()
+    for dev, idx in idx_map.items():
+        if dev.process_index != jax.process_index():
+            continue
+        sl = idx[1]
+        mine.update(range(*sl.indices(batch_size)))
+    return np.array(sorted(mine), dtype=np.int64)
+
+
+def global_prebatched_from_local(local, mesh: Mesh, batch_size: int):
+    """Assemble global (nb, B, ...) arrays for the distributed eval
+    protocol from per-process COLUMN blocks.
+
+    `local` is a pytree of arrays holding, for every batch, only the
+    columns from `process_local_batch_columns(batch_size, mesh)`, in that
+    order — shape (nb, B_local, ...). Collective; the result feeds
+    `fast_eval.get_eval_epoch_prebatched_fn` exactly like the
+    single-process `loop._evaluate_device` mesh path.
+    """
+    _check_divisible(batch_size, mesh)
+    s = NamedSharding(mesh, P(None, DATA_AXIS))
+
+    def assemble(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            s, x, (x.shape[0], batch_size) + x.shape[2:]
+        )
+
+    return jax.tree_util.tree_map(assemble, local)
+
+
+def replicate_result(x, mesh: Mesh):
+    """All-gather a (possibly sharded) device result to a fully
+    replicated array every process can read on the host — e.g. the
+    per-image losses the distributed eval returns. Collective."""
+    return jax.jit(
+        lambda y: y, out_shardings=NamedSharding(mesh, P())
+    )(x)
 
 
 def assert_same_across_processes(

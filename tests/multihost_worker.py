@@ -26,9 +26,12 @@ jax.config.update("jax_platforms", "cpu")
 from image_segmentation_tpu.parallel.multihost import (
     assert_same_across_processes,
     global_batch_from_local,
+    global_prebatched_from_local,
     initialize_multihost,
+    process_local_batch_columns,
     process_local_indices,
     replicate_for_processes,
+    replicate_result,
 )
 
 initialize_multihost(f"localhost:{PORT}", NPROC, PID)
@@ -72,6 +75,59 @@ with mesh:
         state, loss = step(state, batch)
 loss = float(loss)
 assert_same_across_processes(loss, mesh, name="train loss")
+
+# --- distributed original-resolution eval across the process group ---
+# The pre-batched eval layout (train/fast_eval.py) sharded over the
+# global 'data' axis: each process feeds only ITS column block of every
+# batch (in a real run it would decode only those files; the tiny test
+# set is generated everywhere from the shared recipe and sliced). The
+# fresh PRNGKey(7) state below is recreated identically by the parent
+# test's single-process reference.
+from image_segmentation_tpu.data.dataset import ArrayDataset
+from image_segmentation_tpu.data.loader import materialize
+from image_segmentation_tpu.ops import geometry as G
+from image_segmentation_tpu.train import fast_eval
+
+rng2 = np.random.default_rng(7)
+items = []
+for i in range(10):
+    h, w = int(rng2.integers(24, 48)), int(rng2.integers(24, 48))
+    img = rng2.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    lab = np.zeros((h, w), np.int32)
+    lab[h // 2:, :] = 1 + (i % 3)
+    items.append((img, lab))
+val = materialize(ArrayDataset(items), S, keep_orig_labels=True)
+canvases = fast_eval.pack_label_canvases(val.orig_labels)
+
+eval_state = create_train_state(
+    UNet(num_classes=4, base=8), jax.random.PRNGKey(7),
+    jnp.zeros((1, S, S, 3)), make_adamw(learning_rate=1e-3),
+)
+eval_state = replicate_for_processes(eval_state, mesh)
+
+Bv = jax.device_count()
+n = len(val)
+nb = -(-n // Bv)
+idx_mat = np.minimum(np.arange(nb * Bv).reshape(nb, Bv), n - 1)
+real_mat = np.arange(nb * Bv).reshape(nb, Bv) < n
+cols = process_local_batch_columns(Bv, mesh)
+loc = lambda a: np.asarray(a)[idx_mat][:, cols]
+b_inputs = (global_prebatched_from_local(loc(val.images), mesh, Bv),)
+b_metas = G.ResizeMeta(
+    *(global_prebatched_from_local(loc(f), mesh, Bv) for f in val.metas)
+)
+b_canv = global_prebatched_from_local(loc(canvases), mesh, Bv)
+b_real = global_prebatched_from_local(real_mat[:, cols], mesh, Bv)
+eval_epoch = fast_eval.get_eval_epoch_prebatched_fn(
+    canvases.shape[1:], 4, DiceCELoss(ignore_index=3)
+)
+with mesh:
+    conf, losses = eval_epoch(eval_state, b_inputs, b_metas, b_canv, b_real)
+conf = np.asarray(replicate_result(conf, mesh))
+losses = np.asarray(replicate_result(losses, mesh))
+val_loss = float(losses.reshape(-1)[real_mat.reshape(-1)].mean())
+assert_same_across_processes(val_loss, mesh, name="val loss")
+print(f"EVAL {PID} {val_loss!r} {conf.reshape(-1).tolist()!r}", flush=True)
 
 # fit() is single-controller; in a process group it must refuse loudly
 # (its host-side uploads/checkpoint fetches assume fully-addressable

@@ -65,6 +65,47 @@ def _single_process_reference_loss() -> float:
     return float(loss)
 
 
+def _single_process_reference_eval():
+    """The worker's distributed-eval computation on a single-process
+    4-device mesh (same PRNGKey(7) state, same val recipe): returns
+    (mean per-image val loss over real rows, flattened confusion)."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.data.dataset import ArrayDataset
+    from image_segmentation_tpu.data.loader import materialize
+    from image_segmentation_tpu.losses import DiceCELoss
+    from image_segmentation_tpu.metrics import MetricsHistory
+    from image_segmentation_tpu.models import UNet
+    from image_segmentation_tpu.parallel.mesh import get_mesh, replicate
+    from image_segmentation_tpu.train import create_train_state
+    from image_segmentation_tpu.train.loop import _evaluate_device
+    from image_segmentation_tpu.train.state import make_adamw
+
+    S = 32
+    rng2 = np.random.default_rng(7)
+    items = []
+    for i in range(10):
+        h, w = int(rng2.integers(24, 48)), int(rng2.integers(24, 48))
+        img = rng2.uniform(0, 1, (h, w, 3)).astype(np.float32)
+        lab = np.zeros((h, w), np.int32)
+        lab[h // 2:, :] = 1 + (i % 3)
+        items.append((img, lab))
+    val = materialize(ArrayDataset(items), S, keep_orig_labels=True)
+    state = create_train_state(
+        UNet(num_classes=4, base=8), jax.random.PRNGKey(7),
+        jnp.zeros((1, S, S, 3)), make_adamw(learning_rate=1e-3),
+    )
+    mesh = get_mesh(jax.devices()[:4])
+    agg = MetricsHistory(4, ignore_index=3)
+    res = _evaluate_device(
+        replicate(state, mesh), val, loss_cfg=DiceCELoss(ignore_index=3),
+        num_classes=4, agg=agg, batch_size=4, verbose=False, mesh=mesh,
+    )
+    conf = np.asarray(agg.confusion, dtype=np.int64).reshape(-1)
+    return res["loss"], conf
+
+
 def test_two_process_train_step_matches_single_process():
     port = _free_port()
     env = dict(os.environ)
@@ -87,12 +128,17 @@ def test_two_process_train_step_matches_single_process():
             if p.poll() is None:
                 p.kill()
     losses = {}
+    evals = {}
     for out, p in zip(outs, procs):
         assert p.returncode == 0, f"worker failed:\n{out}"
         for line in out.splitlines():
             if line.startswith("LOSS "):
                 _, pid, val = line.split()
                 losses[int(pid)] = float(val)
+            elif line.startswith("EVAL "):
+                _, pid, rest = line.split(None, 2)
+                val, conf = rest.split(None, 1)
+                evals[int(pid)] = (float(val), eval(conf))
     assert set(losses) == {0, 1}, f"missing LOSS lines:\n{outs}"
     # replicated loss identical across processes (assert_same_across_
     # processes already tripwired inside the workers)
@@ -102,6 +148,15 @@ def test_two_process_train_step_matches_single_process():
     # differs -> tight float32 tolerance
     assert np.isclose(losses[0], want, rtol=2e-5, atol=1e-6), (
         losses[0], want,
+    )
+    # --- distributed eval: both processes reported, identical, and equal
+    # to the single-process protocol on the same recipe ---
+    assert set(evals) == {0, 1}, f"missing EVAL lines:\n{outs}"
+    assert evals[0] == evals[1]
+    ref_loss, ref_conf = _single_process_reference_eval()
+    np.testing.assert_array_equal(np.asarray(evals[0][1]), ref_conf)
+    assert np.isclose(evals[0][0], ref_loss, rtol=2e-5, atol=1e-6), (
+        evals[0][0], ref_loss,
     )
 
 
