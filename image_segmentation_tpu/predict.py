@@ -204,6 +204,9 @@ def main(argv: Optional[Sequence[str]] = None) -> Dict:
                         "prompt models, whose label space has no boundary "
                         "class (the reference notebooks' ignore_index=3 "
                         "there would exclude 'dog'); -1 disables")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard each prediction batch across all devices "
+                        "(data mesh, same as serve.app --mesh)")
     args = p.parse_args(argv)
 
     from image_segmentation_tpu.serve.app import (
@@ -211,11 +214,20 @@ def main(argv: Optional[Sequence[str]] = None) -> Dict:
         build_engine_from_checkpoints,
     )
 
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from image_segmentation_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh()
+        print(f"[predict] mesh over {jax.device_count()} devices")
+
     if args.demo or not args.models_dir:
         print("[predict] demo mode: random-weight models")
-        engine = build_demo_engine()
+        engine = build_demo_engine(mesh=mesh)
     else:
-        engine = build_engine_from_checkpoints(args.models_dir)
+        engine = build_engine_from_checkpoints(args.models_dir, mesh=mesh)
 
     names = engine.available()
     model = args.model or ("unet" if "unet" in names else names[0])
