@@ -144,14 +144,19 @@ def save_checkpoint(
     )
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
-    meta = {
-        "epoch": int(epoch),
-        "best": dict(best or {}),
-        "history": history or {},
-        "notes": notes,
-    }
-    with open(os.path.join(path, "meta.msgpack"), "wb") as f:
-        f.write(flax.serialization.msgpack_serialize(meta))
+    # Multi-process runs (train/multihost_loop.py) call this COLLECTIVELY
+    # — orbax's save carries an internal cross-process barrier, so every
+    # process must enter it; orbax writes array data from the primary
+    # host only, and the side files are ours to gate the same way.
+    if jax.process_index() == 0:
+        meta = {
+            "epoch": int(epoch),
+            "best": dict(best or {}),
+            "history": history or {},
+            "notes": notes,
+        }
+        with open(os.path.join(path, "meta.msgpack"), "wb") as f:
+            f.write(flax.serialization.msgpack_serialize(meta))
 
 
 def save_checkpoint_async(

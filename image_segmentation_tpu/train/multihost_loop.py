@@ -1,0 +1,253 @@
+"""Multi-host training loop: fit() semantics over a real process group.
+
+`train.loop.fit` is single-controller by design (host-side uploads and
+write-behind checkpoint fetches assume fully-addressable arrays) and
+refuses to run under `jax.process_count() > 1`. This module is the
+multi-process counterpart: the SAME jitted train step and the SAME
+distributed original-resolution eval program run over a global mesh,
+with the host-side contract from parallel/multihost.py around them —
+
+  * identical state init/replication on every process
+    (`replicate_for_processes`),
+  * one shared-seed shuffle per epoch, so the batch schedule is
+    bit-identical to single-process fit() on the same data and seed
+    (each process holds the full materialized dataset on host — the
+    honest cost of exact global shuffling; device memory and compute
+    are what shard, each process feeding only its devices' rows via
+    `global_batch_from_local`),
+  * distributed eval: the pre-batched original-resolution protocol
+    (train/fast_eval.py) fed by per-process column blocks, results
+    all-gathered so every process sees identical metrics,
+  * best-val-mIoU checkpointing from process 0 only (synchronous
+    save_checkpoint — the write-behind machinery is single-controller),
+    with the weights-only `MO_` copy and the per-epoch metrics file the
+    reference pipeline writes (reference utils/training.py:453-618).
+
+Pinned by tests/test_multihost.py: a 2-process gloo CPU cluster runs
+fit_multihost and the parent compares its full history against
+single-process fit() with the same seed on the same data.
+
+The reference has no distributed anything (utils/training.py:11-16);
+this is the TPU-native scale-out of its `start(...)` pipeline.
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_segmentation_tpu.data.loader import MaterializedDataset
+from image_segmentation_tpu.metrics import MetricsHistory
+from image_segmentation_tpu.ops import geometry as G
+from image_segmentation_tpu.parallel.mesh import get_mesh
+from image_segmentation_tpu.parallel.multihost import (
+    global_batch_from_local,
+    global_prebatched_from_local,
+    process_local_batch_columns,
+    process_local_indices,
+    replicate_for_processes,
+    replicate_result,
+)
+from image_segmentation_tpu.train import checkpoint as ckpt
+from image_segmentation_tpu.train import fast_eval
+from image_segmentation_tpu.train.loop import (
+    FitResult,
+    _history_new,
+    _save_history,
+)
+from image_segmentation_tpu.train.steps import make_train_step
+
+
+def _evaluate_multihost(state, val_data: MaterializedDataset, mesh, *,
+                        loss_cfg, num_classes: int, agg: MetricsHistory,
+                        batch_size: int, cache: dict, verbose: bool):
+    """Distributed original-resolution eval across the process group.
+
+    Same math as loop._evaluate_device's mesh path; the difference is
+    purely host-side: arrays are assembled from per-process column
+    blocks (make_array_from_process_local_data) instead of device_put,
+    because device_put cannot target non-addressable devices. The
+    uploaded epoch layout is cached across epochs like the
+    single-controller path."""
+    if val_data.label_canvases is None:
+        val_data.label_canvases = fast_eval.pack_label_canvases(
+            val_data.orig_labels
+        )
+    canvases = val_data.label_canvases
+    agg.reset()
+    n = len(val_data)
+    n_data = int(dict(mesh.shape).get("data", 1))
+    k = max(1, batch_size // n_data)
+    batch_size = k * n_data
+    nb = -(-n // batch_size)
+    idx_mat = np.minimum(
+        np.arange(nb * batch_size).reshape(nb, batch_size), n - 1
+    ).astype(np.int32)
+    real_mat = np.arange(nb * batch_size).reshape(nb, batch_size) < n
+
+    key = (tuple(sorted(dict(mesh.shape).items())), batch_size)
+    if cache.get("key") != key:
+        cols = process_local_batch_columns(batch_size, mesh)
+        loc = lambda a: np.asarray(a)[idx_mat][:, cols]
+        b_inputs = (global_prebatched_from_local(loc(val_data.images),
+                                                 mesh, batch_size),)
+        if val_data.has_heatmaps:
+            b_inputs += (global_prebatched_from_local(
+                loc(val_data.heatmaps), mesh, batch_size),)
+        cache.update(key=key, payload=(
+            b_inputs,
+            G.ResizeMeta(*(global_prebatched_from_local(loc(f), mesh,
+                                                        batch_size)
+                           for f in val_data.metas)),
+            global_prebatched_from_local(loc(canvases), mesh, batch_size),
+            global_prebatched_from_local(real_mat[:, cols], mesh,
+                                         batch_size),
+        ))
+    b_inputs, b_metas, b_canv, b_real = cache["payload"]
+    eval_epoch = fast_eval.get_eval_epoch_prebatched_fn(
+        canvases.shape[1:], num_classes, loss_cfg
+    )
+    with mesh:
+        conf, losses = eval_epoch(state, b_inputs, b_metas, b_canv, b_real)
+    conf = np.asarray(replicate_result(conf, mesh))
+    losses = np.asarray(replicate_result(losses, mesh))
+    agg.accumulate_confusion(conf)
+    dice, iou, acc = agg.compute_epoch_metrics()
+    flat_real = real_mat.reshape(-1)
+    val_loss = (float(losses.reshape(-1)[flat_real].mean())
+                if loss_cfg is not None else float("nan"))
+    if verbose and jax.process_index() == 0:
+        per_iou = agg.get_last_per_class_iou()
+        print(f"  val: loss={val_loss:.4f} acc={acc:.4f} dice={dice:.4f} "
+              f"miou={iou:.4f} per-class IoU={np.round(per_iou, 4).tolist()}")
+    return {"loss": val_loss, "dice": dice, "iou": iou, "acc": acc,
+            "per_class_iou": np.asarray(agg.get_last_per_class_iou())}
+
+
+def fit_multihost(
+    state,
+    train_data: MaterializedDataset,
+    val_data: MaterializedDataset,
+    *,
+    loss_fn: Callable,
+    epochs: int,
+    batch_size: int,
+    accum_steps: int = 1,
+    save_dir: str,
+    name: str,
+    num_classes: int = 4,
+    eval_ignore_index: Optional[int] = 3,
+    eval_batch_size: Optional[int] = None,
+    eval_loss_cfg=None,
+    seed: int = 0,
+    notes: str = "",
+    verbose: bool = True,
+    save_weights_only_copy: bool = True,
+) -> FitResult:
+    """Train with per-epoch distributed validation and best-val-mIoU
+    checkpointing across a multi-process mesh.
+
+    Every process calls this collectively with IDENTICAL arguments and
+    identically-materialized data (same files / same synthetic seed);
+    the batch schedule and results match single-process
+    `fit(..., mesh=...)` with the same seed. The global `batch_size`
+    must divide the mesh's 'data' axis."""
+    mesh = get_mesh()  # all global devices on 'data'
+    state = replicate_for_processes(state, mesh)
+    proc0 = jax.process_index() == 0
+
+    if proc0:
+        os.makedirs(save_dir, exist_ok=True)
+    ckpt_path = os.path.join(save_dir, name)
+    last_path = os.path.join(save_dir, name + "_last")
+    weights_path = os.path.join(save_dir, "MO_" + name)
+
+    has_aux = train_data.has_heatmaps
+    step = make_train_step(loss_fn, accum_steps=accum_steps,
+                           has_aux_input=has_aux)
+    mine = process_local_indices(batch_size, mesh)
+
+    history = _history_new()
+    best = {"dice": -1.0, "miou": -1.0, "loss": float("inf")}
+    agg = MetricsHistory(num_classes, ignore_index=eval_ignore_index)
+    eval_cache: dict = {}
+    rng = np.random.default_rng(seed)
+    import time as _time
+
+    for epoch in range(epochs):
+        t0 = _time.time()
+        if verbose and proc0:
+            print(f"Epoch {epoch + 1}/{epochs} [{name}] "
+                  f"({jax.process_count()} processes)")
+        n = len(train_data)
+        nsteps = n // batch_size
+        if nsteps == 0:
+            raise ValueError(
+                f"dataset size {n} < global batch_size {batch_size}"
+            )
+        # same shuffle contract as fit(): permutation, drop_last
+        order = rng.permutation(n)[: nsteps * batch_size]
+        idx_mat = order.reshape(nsteps, batch_size)
+        losses = []
+        for b in range(nsteps):
+            rows = idx_mat[b][mine]  # this process's device rows only
+            local = (train_data.images[rows],)
+            if has_aux:
+                local += (train_data.heatmaps[rows],)
+            local += (train_data.labels[rows],)
+            batch = global_batch_from_local(local, mesh, batch_size)
+            with mesh:
+                state, loss = step(state, batch)
+            losses.append(loss)
+        train_loss = float(np.mean([float(l) for l in losses]))
+        if verbose and proc0:
+            print(f"  train: loss={train_loss:.4f}")
+
+        val = _evaluate_multihost(
+            state, val_data, mesh, loss_cfg=eval_loss_cfg,
+            num_classes=num_classes, agg=agg,
+            batch_size=eval_batch_size or batch_size,
+            cache=eval_cache, verbose=verbose,
+        )
+
+        history["train_loss"].append(train_loss)
+        history["val_loss"].append(val["loss"])
+        history["val_dice"].append(val["dice"])
+        history["val_iou"].append(val["iou"])
+        history["val_acc"].append(val["acc"])
+        history["val_per_class_iou"].append(val["per_class_iou"])
+        history["epoch_time_s"].append(_time.time() - t0)
+        if proc0:
+            _save_history(save_dir, name, history)
+
+        improved = (val["loss"] < best["loss"] if np.isnan(val["iou"])
+                    else val["iou"] > best["miou"])
+        if improved:
+            best = {"dice": val["dice"], "miou": val["iou"],
+                    "loss": val["loss"]}
+        # metrics are replicated, so `improved` agrees on every process.
+        # Saves are COLLECTIVE: orbax's save carries an internal
+        # cross-process barrier, so skipping it on any process deadlocks
+        # the group — every process enters, the primary host writes
+        # (shared checkpoint filesystem, the standard pod setup), and
+        # np.asarray on the fully replicated state is valid everywhere.
+        # Synchronous (not write-behind): the async machinery is
+        # single-controller.
+        if improved:
+            ckpt.save_checkpoint(ckpt_path, state, epoch=epoch, best=best,
+                                 history=history, notes=notes)
+            ckpt.save_checkpoint(last_path, state, epoch=epoch, best=best,
+                                 history=history, notes=notes)
+            if save_weights_only_copy:
+                ckpt.save_params_only(weights_path, state.params,
+                                      state.batch_stats)
+            if verbose and proc0:
+                print(f"  saved checkpoint (new best miou {val['iou']:.4f})")
+        else:
+            ckpt.save_checkpoint(last_path, state, epoch=epoch, best=best,
+                                 history=history, notes=notes)
+
+    return FitResult(state=state, history=history, best=best)

@@ -179,3 +179,104 @@ def test_process_local_indices_partition():
     g = global_batch_from_local(x[idx], mesh, global_batch=8)
     assert g.shape == (8, 3)
     np.testing.assert_array_equal(np.asarray(g), x)
+
+
+FIT_WORKER = os.path.join(REPO, "tests", "multihost_fit_worker.py")
+
+
+def _single_process_reference_fit(tmp_path):
+    """Single-process fit() with the same seed/data/batch schedule as the
+    2-process fit_multihost workers. The streaming per-batch path is
+    forced (ISTPU_TRAIN_DEVICE_CACHE_MB=0) so both runs execute the same
+    per-batch jitted step program."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.losses import DiceCELoss
+    from image_segmentation_tpu.models import UNet
+    from image_segmentation_tpu.parallel.mesh import get_mesh
+    from image_segmentation_tpu.train import create_train_state
+    from image_segmentation_tpu.train.loop import fit
+    from image_segmentation_tpu.train.state import make_adamw
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from multihost_recipe import make_train_val
+
+    old = os.environ.get("ISTPU_TRAIN_DEVICE_CACHE_MB")
+    os.environ["ISTPU_TRAIN_DEVICE_CACHE_MB"] = "0"
+    try:
+        train, val = make_train_val()
+        state = create_train_state(
+            UNet(num_classes=4, base=8), jax.random.PRNGKey(0),
+            jnp.zeros((1, 32, 32, 3)), make_adamw(learning_rate=1e-3),
+        )
+        cfg = DiceCELoss(ignore_index=3)
+        res = fit(state, train, val, loss_fn=cfg, epochs=2, batch_size=8,
+                  save_dir=str(tmp_path / "ref"), name="mh",
+                  eval_loss_cfg=cfg, seed=0, verbose=False,
+                  mesh=get_mesh(jax.devices()[:4]))
+        return res
+    finally:
+        if old is None:
+            os.environ.pop("ISTPU_TRAIN_DEVICE_CACHE_MB", None)
+        else:
+            os.environ["ISTPU_TRAIN_DEVICE_CACHE_MB"] = old
+
+
+def test_two_process_fit_multihost_matches_single_process(tmp_path):
+    """The full multi-host training loop (train/multihost_loop.py): two
+    real processes train + evaluate distributed for 2 epochs; history
+    must match single-process fit() with the same seed, and process 0
+    must have written the checkpoint artifacts."""
+    import json
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    save_dir = str(tmp_path / "mh")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, FIT_WORKER, str(pid), "2", str(port), save_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=REPO,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    results = {}
+    for out, p in zip(outs, procs):
+        assert p.returncode == 0, f"fit worker failed:\n{out}"
+        for line in out.splitlines():
+            if line.startswith("FITMH "):
+                _, pid, payload = line.split(None, 2)
+                results[int(pid)] = json.loads(payload)
+    assert set(results) == {0, 1}, f"missing FITMH lines:\n{outs}"
+    assert results[0] == results[1]  # replicated metrics identical
+
+    ref = _single_process_reference_fit(tmp_path)
+    got = results[0]
+    # same program, same batch schedule; the cross-process psum transport
+    # reassociates float sums differently, and the per-step ~1e-5 drift
+    # compounds over 6 optimizer steps -> per-epoch tolerances
+    np.testing.assert_allclose(got["train_loss"],
+                               ref.history["train_loss"], rtol=2e-4)
+    np.testing.assert_allclose(got["val_loss"], ref.history["val_loss"],
+                               rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(got["val_iou"], ref.history["val_iou"],
+                               rtol=2e-3, atol=2e-3)
+    assert np.isclose(got["best_miou"], ref.best["miou"],
+                      rtol=2e-3, atol=2e-3)
+    # process-0 artifacts: best ckpt, '_last', weights-only, metrics file
+    for sub in ("mh", "mh_last", "MO_mh"):
+        assert os.path.isdir(os.path.join(save_dir, sub)), sub
+    assert os.path.isfile(os.path.join(save_dir, "metrics", "mh.msgpack"))
