@@ -122,11 +122,41 @@ def main(argv=None):
                         "default Test). With --synthetic, 'Val' is the "
                         "same synthetic set fit() validated on; anything "
                         "else is a held-out synthetic set")
+    p.add_argument("--platform", default=None,
+                   help="force the JAX platform (e.g. 'cpu') before "
+                        "backend init — env-var selection alone is "
+                        "overridden by some platform plugins")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-process training: bring up the process "
+                        "group and run train.multihost_loop.fit_multihost "
+                        "over the global mesh. Launch one identical "
+                        "invocation per host; on TPU pods the coordinator "
+                        "autodetects from the environment, elsewhere pass "
+                        "--coordinator/--num-processes/--process-id")
+    p.add_argument("--coordinator", default=None,
+                   help="multihost coordinator address host:port")
+    p.add_argument("--num-processes", type=int, default=0)
+    p.add_argument("--process-id", type=int, default=-1)
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.multihost:
+        from image_segmentation_tpu.parallel.multihost import (
+            initialize_multihost,
+        )
+
+        if args.coordinator:
+            initialize_multihost(args.coordinator, args.num_processes,
+                                 args.process_id)
+        else:
+            jax.distributed.initialize()  # TPU-pod environment autodetect
+        print(f"[run] multihost: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.device_count()} global devices")
 
     from image_segmentation_tpu import config as C
     from image_segmentation_tpu.data.dataset import ArrayDataset, SegmentationDataset
@@ -170,6 +200,13 @@ def main(argv=None):
 
     # ---- data ----
     eval_only = args.evaluate is not None
+    if jax.process_count() > 1 and (eval_only or cfg.model == "recon"):
+        # both paths are single-controller (host device_puts /
+        # fit_reconstruction uploads assume fully-addressable arrays)
+        raise SystemExit(
+            "[run] --evaluate and recon configs are single-process; "
+            "drop --multihost (multi-process covers the fit pipelines)"
+        )
     if args.synthetic:
         n_val = max(4, args.synthetic // 4)
         if eval_only:
@@ -563,6 +600,50 @@ def main(argv=None):
         else:
             print("[run] microbatch not divisible by any device count; "
                   "running single-device")
+    if jax.process_count() > 1:
+        # Multi-process training: the collective fit_multihost loop
+        # (train/multihost_loop.py). Same batch schedule and eval
+        # protocol as fit(); single-controller-only features are
+        # refused loudly rather than silently skipped.
+        from image_segmentation_tpu.train.multihost_loop import fit_multihost
+
+        blockers = []
+        if augment_fn is not None:
+            blockers.append("online augmentation (use offline-augmented "
+                            "data: data.augment)")
+        if eval_state_fn is not None:
+            blockers.append("--cache-features")
+        if args.resume:
+            blockers.append("--resume")
+        if args.eval_protocol != "device":
+            blockers.append("--eval-protocol host")
+        if args.tensorboard:
+            blockers.append("--tensorboard")
+        if blockers:
+            raise SystemExit(
+                "[run] not supported with --multihost: "
+                + "; ".join(blockers)
+            )
+        result = fit_multihost(
+            state,
+            train_data,
+            val_data,
+            loss_fn=loss_fn,
+            epochs=cfg.epochs,
+            batch_size=step_batch,
+            accum_steps=accum,
+            save_dir=args.save_dir,
+            name=cfg.name,
+            num_classes=cfg.num_classes,
+            eval_ignore_index=cfg.eval_ignore_index,
+            eval_batch_size=cfg.batch_size,
+            eval_loss_cfg=val_loss_fn,
+            seed=cfg.seed,
+        )
+        if jax.process_index() == 0:
+            print(f"[run] done: best {result.best}")
+        return result
+
     tb = _make_tb_logger(args, cfg)
     try:
         with trace_context(args.profile_dir):

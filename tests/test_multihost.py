@@ -280,3 +280,45 @@ def test_two_process_fit_multihost_matches_single_process(tmp_path):
     for sub in ("mh", "mh_last", "MO_mh"):
         assert os.path.isdir(os.path.join(save_dir, sub)), sub
     assert os.path.isfile(os.path.join(save_dir, "metrics", "mh.msgpack"))
+
+
+def test_multihost_cli_end_to_end(tmp_path):
+    """run.py --multihost: two real processes drive the full CLI pipeline
+    (synthetic data -> fit_multihost -> checkpoints) and report identical
+    best metrics."""
+    port = _free_port()
+    save_dir = str(tmp_path / "cli")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    common = [
+        sys.executable, "-m", "image_segmentation_tpu.run",
+        "--platform", "cpu", "--multihost",
+        "--coordinator", f"localhost:{port}", "--num-processes", "2",
+        "--config", "unet_noaug", "--synthetic", "16", "--epochs", "2",
+        "--batch-size", "4", "--target-size", "32", "--save-dir", save_dir,
+    ]
+    procs = [
+        subprocess.Popen(common + ["--process-id", str(pid)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env, cwd=REPO)
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for out, p in zip(outs, procs):
+        assert p.returncode == 0, f"CLI worker failed:\n{out}"
+    assert "multihost: process 0/2" in outs[0] or \
+        "multihost: process 0/2" in outs[1]
+    done = [l for out in outs for l in out.splitlines()
+            if l.startswith("[run] done: best")]
+    assert len(done) == 1, outs  # printed by process 0 only
+    for sub in ("unet_noaug", "unet_noaug_last", "MO_unet_noaug"):
+        assert os.path.isdir(os.path.join(save_dir, sub)), sub
