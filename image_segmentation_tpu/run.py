@@ -613,8 +613,6 @@ def main(argv=None):
                             "data: data.augment)")
         if eval_state_fn is not None:
             blockers.append("--cache-features")
-        if args.resume:
-            blockers.append("--resume")
         if args.eval_protocol != "device":
             blockers.append("--eval-protocol host")
         if args.tensorboard:
@@ -639,6 +637,7 @@ def main(argv=None):
             eval_batch_size=cfg.batch_size,
             eval_loss_cfg=val_loss_fn,
             seed=cfg.seed,
+            resume=args.resume,
         )
         if jax.process_index() == 0:
             print(f"[run] done: best {result.best}")

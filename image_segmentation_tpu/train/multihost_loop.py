@@ -146,6 +146,7 @@ def fit_multihost(
     notes: str = "",
     verbose: bool = True,
     save_weights_only_copy: bool = True,
+    resume: bool = False,
 ) -> FitResult:
     """Train with per-epoch distributed validation and best-val-mIoU
     checkpointing across a multi-process mesh.
@@ -154,9 +155,14 @@ def fit_multihost(
     identically-materialized data (same files / same synthetic seed);
     the batch schedule and results match single-process
     `fit(..., mesh=...)` with the same seed. The global `batch_size`
-    must divide the mesh's 'data' axis."""
+    must divide the mesh's 'data' axis.
+
+    `resume=True` restores the '_last' preemption checkpoint (falling
+    back to the best one), exactly like fit(): every process reads the
+    shared checkpoint, the epoch counter / best metrics / history carry
+    on, and the shuffle rng restarts from `seed + start_epoch` — so a
+    preempted-and-resumed run follows fit()'s resumed schedule."""
     mesh = get_mesh()  # all global devices on 'data'
-    state = replicate_for_processes(state, mesh)
     proc0 = jax.process_index() == 0
 
     if proc0:
@@ -165,19 +171,38 @@ def fit_multihost(
     last_path = os.path.join(save_dir, name + "_last")
     weights_path = os.path.join(save_dir, "MO_" + name)
 
+    history = _history_new()
+    best = {"dice": -1.0, "miou": -1.0, "loss": float("inf")}
+    start_epoch = 0
+    if resume:
+        source = last_path if os.path.isdir(last_path) else ckpt_path
+        if os.path.isdir(source):
+            # every process restores the same host arrays from the shared
+            # checkpoint (collective-safe: all enter orbax's restore)
+            state, meta = ckpt.restore_checkpoint(source, state)
+            start_epoch = int(meta.get("epoch", 0)) + 1
+            best.update(meta.get("best", {}))
+            saved_hist = meta.get("history", {})
+            for k in history:
+                if k in saved_hist:
+                    history[k] = list(saved_hist[k])
+            if verbose and proc0:
+                print(f"Resumed {name} from {os.path.basename(source)} at "
+                      f"epoch {start_epoch} (best miou {best['miou']:.4f})")
+
+    state = replicate_for_processes(state, mesh)
+
     has_aux = train_data.has_heatmaps
     step = make_train_step(loss_fn, accum_steps=accum_steps,
                            has_aux_input=has_aux)
     mine = process_local_indices(batch_size, mesh)
 
-    history = _history_new()
-    best = {"dice": -1.0, "miou": -1.0, "loss": float("inf")}
     agg = MetricsHistory(num_classes, ignore_index=eval_ignore_index)
     eval_cache: dict = {}
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng(seed + start_epoch)
     import time as _time
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = _time.time()
         if verbose and proc0:
             print(f"Epoch {epoch + 1}/{epochs} [{name}] "

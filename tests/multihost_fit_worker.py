@@ -53,11 +53,25 @@ res = fit_multihost(
     save_dir=SAVE_DIR, name="mh", eval_loss_cfg=cfg, seed=0,
     verbose=False,
 )
+# preemption recovery: a fresh state resumes from the '_last' checkpoint
+# and continues to epoch 4 with carried-over history/best
+state2 = create_train_state(
+    UNet(num_classes=4, base=8), jax.random.PRNGKey(99),
+    jnp.zeros((1, 32, 32, 3)), make_adamw(learning_rate=1e-3),
+)
+res2 = fit_multihost(
+    state2, train, val, loss_fn=cfg, epochs=4, batch_size=8,
+    save_dir=SAVE_DIR, name="mh", eval_loss_cfg=cfg, seed=0,
+    verbose=False, resume=True,
+)
 out = {
     "train_loss": res.history["train_loss"],
     "val_loss": res.history["val_loss"],
     "val_iou": res.history["val_iou"],
     "val_dice": res.history["val_dice"],
     "best_miou": res.best["miou"],
+    "resumed_train_loss": res2.history["train_loss"],
+    "resumed_val_iou": res2.history["val_iou"],
+    "resumed_best_miou": res2.best["miou"],
 }
 print(f"FITMH {PID} {json.dumps(out)}", flush=True)

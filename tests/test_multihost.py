@@ -213,11 +213,20 @@ def _single_process_reference_fit(tmp_path):
             jnp.zeros((1, 32, 32, 3)), make_adamw(learning_rate=1e-3),
         )
         cfg = DiceCELoss(ignore_index=3)
+        mesh = get_mesh(jax.devices()[:4])
         res = fit(state, train, val, loss_fn=cfg, epochs=2, batch_size=8,
                   save_dir=str(tmp_path / "ref"), name="mh",
-                  eval_loss_cfg=cfg, seed=0, verbose=False,
-                  mesh=get_mesh(jax.devices()[:4]))
-        return res
+                  eval_loss_cfg=cfg, seed=0, verbose=False, mesh=mesh)
+        # resumed continuation, same schedule as the worker's stage 2
+        state2 = create_train_state(
+            UNet(num_classes=4, base=8), jax.random.PRNGKey(99),
+            jnp.zeros((1, 32, 32, 3)), make_adamw(learning_rate=1e-3),
+        )
+        res2 = fit(state2, train, val, loss_fn=cfg, epochs=4, batch_size=8,
+                   save_dir=str(tmp_path / "ref"), name="mh",
+                   eval_loss_cfg=cfg, seed=0, verbose=False, mesh=mesh,
+                   resume=True)
+        return res, res2
     finally:
         if old is None:
             os.environ.pop("ISTPU_TRAIN_DEVICE_CACHE_MB", None)
@@ -263,7 +272,7 @@ def test_two_process_fit_multihost_matches_single_process(tmp_path):
     assert set(results) == {0, 1}, f"missing FITMH lines:\n{outs}"
     assert results[0] == results[1]  # replicated metrics identical
 
-    ref = _single_process_reference_fit(tmp_path)
+    ref, ref_resumed = _single_process_reference_fit(tmp_path)
     got = results[0]
     # same program, same batch schedule; the cross-process psum transport
     # reassociates float sums differently, and the per-step ~1e-5 drift
@@ -276,6 +285,18 @@ def test_two_process_fit_multihost_matches_single_process(tmp_path):
                                rtol=2e-3, atol=2e-3)
     assert np.isclose(got["best_miou"], ref.best["miou"],
                       rtol=2e-3, atol=2e-3)
+    # resumed continuation: carried history (4 epochs total), same
+    # schedule as single-process fit(resume=True); drift compounds over
+    # more steps -> looser loss tolerance, metric tolerance unchanged
+    assert len(got["resumed_train_loss"]) == 4
+    np.testing.assert_allclose(got["resumed_train_loss"],
+                               ref_resumed.history["train_loss"],
+                               rtol=2e-3)
+    np.testing.assert_allclose(got["resumed_val_iou"],
+                               ref_resumed.history["val_iou"],
+                               rtol=5e-3, atol=5e-3)
+    assert np.isclose(got["resumed_best_miou"], ref_resumed.best["miou"],
+                      rtol=5e-3, atol=5e-3)
     # process-0 artifacts: best ckpt, '_last', weights-only, metrics file
     for sub in ("mh", "mh_last", "MO_mh"):
         assert os.path.isdir(os.path.join(save_dir, sub)), sub
