@@ -608,9 +608,6 @@ def main(argv=None):
         from image_segmentation_tpu.train.multihost_loop import fit_multihost
 
         blockers = []
-        if augment_fn is not None:
-            blockers.append("online augmentation (use offline-augmented "
-                            "data: data.augment)")
         if eval_state_fn is not None:
             blockers.append("--cache-features")
         if args.eval_protocol != "device":
@@ -638,6 +635,7 @@ def main(argv=None):
             eval_loss_cfg=val_loss_fn,
             seed=cfg.seed,
             resume=args.resume,
+            augment_fn=augment_fn,
         )
         if jax.process_index() == 0:
             print(f"[run] done: best {result.best}")

@@ -147,6 +147,7 @@ def fit_multihost(
     verbose: bool = True,
     save_weights_only_copy: bool = True,
     resume: bool = False,
+    augment_fn=None,
 ) -> FitResult:
     """Train with per-epoch distributed validation and best-val-mIoU
     checkpointing across a multi-process mesh.
@@ -193,6 +194,18 @@ def fit_multihost(
     state = replicate_for_processes(state, mesh)
 
     has_aux = train_data.has_heatmaps
+    if augment_fn is not None and has_aux:
+        raise ValueError(
+            "augment_fn is not supported for prompt (heatmap) datasets; "
+            "generate augmented prompt triplets offline instead (same "
+            "contract as fit())"
+        )
+    # On-device augmentation keys are split PER SAMPLE
+    # (ops/augment.random_augment_batch), so applying the jitted augment
+    # to the sharded global batch is sharding-invariant: identical
+    # results to single-process fit()'s eager per-batch call with the
+    # same key sequence (pinned by tests/test_multihost.py).
+    aug_jit = jax.jit(augment_fn) if augment_fn is not None else None
     step = make_train_step(loss_fn, accum_steps=accum_steps,
                            has_aux_input=has_aux)
     mine = process_local_indices(batch_size, mesh)
@@ -216,6 +229,8 @@ def fit_multihost(
         # same shuffle contract as fit(): permutation, drop_last
         order = rng.permutation(n)[: nsteps * batch_size]
         idx_mat = order.reshape(nsteps, batch_size)
+        # same augmentation key schedule as fit()
+        aug_key = jax.random.PRNGKey(seed * 100003 + epoch)
         losses = []
         for b in range(nsteps):
             rows = idx_mat[b][mine]  # this process's device rows only
@@ -225,6 +240,9 @@ def fit_multihost(
             local += (train_data.labels[rows],)
             batch = global_batch_from_local(local, mesh, batch_size)
             with mesh:
+                if aug_jit is not None:
+                    aug_key, k = jax.random.split(aug_key)
+                    batch = aug_jit(batch[0], batch[1], k)
                 state, loss = step(state, batch)
             losses.append(loss)
         train_loss = float(np.mean([float(l) for l in losses]))

@@ -343,3 +343,80 @@ def test_multihost_cli_end_to_end(tmp_path):
     assert len(done) == 1, outs  # printed by process 0 only
     for sub in ("unet_noaug", "unet_noaug_last", "MO_unet_noaug"):
         assert os.path.isdir(os.path.join(save_dir, sub)), sub
+
+
+def test_augment_is_sharding_invariant():
+    """ops/augment.random_augment_batch splits its key PER SAMPLE, so the
+    jitted augment on a 'data'-sharded batch must reproduce the unsharded
+    result — labels (nearest resampling) exactly, images to float epsilon
+    (partitioned fusions reassociate the interpolation arithmetic) — the
+    property fit_multihost's online augmentation relies on."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.ops.augment import random_augment_batch
+    from image_segmentation_tpu.parallel.mesh import get_mesh, shard_batch
+
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 4, (8, 32, 32)), jnp.int32)
+    key = jax.random.PRNGKey(11)
+    ref = jax.jit(random_augment_batch)(images, labels, key)
+    mesh = get_mesh(jax.devices()[:4])
+    sharded = shard_batch((images, labels), mesh)
+    with mesh:
+        got = jax.jit(random_augment_batch)(sharded[0], sharded[1], key)
+    np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(got[0]),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+
+
+def test_fit_multihost_augment_matches_fit_single_process(tmp_path):
+    """Single-process fit_multihost with online augmentation must follow
+    fit()'s trajectory exactly (same shuffle AND same augment key
+    schedule). In-process (no cluster): pins the key plumbing."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.losses import DiceCELoss
+    from image_segmentation_tpu.models import UNet
+    from image_segmentation_tpu.ops.augment import random_augment_batch
+    from image_segmentation_tpu.parallel.mesh import get_mesh
+    from image_segmentation_tpu.train import create_train_state
+    from image_segmentation_tpu.train.loop import fit
+    from image_segmentation_tpu.train.multihost_loop import fit_multihost
+    from image_segmentation_tpu.train.state import make_adamw
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from multihost_recipe import make_train_val
+
+    old = os.environ.get("ISTPU_TRAIN_DEVICE_CACHE_MB")
+    os.environ["ISTPU_TRAIN_DEVICE_CACHE_MB"] = "0"
+    try:
+        train, val = make_train_val()
+        mk = lambda: create_train_state(
+            UNet(num_classes=4, base=8), jax.random.PRNGKey(0),
+            jnp.zeros((1, 32, 32, 3)), make_adamw(learning_rate=1e-3),
+        )
+        cfg = DiceCELoss(ignore_index=3)
+        ref = fit(mk(), train, val, loss_fn=cfg, epochs=2, batch_size=8,
+                  save_dir=str(tmp_path / "a"), name="x", eval_loss_cfg=cfg,
+                  seed=0, verbose=False, mesh=get_mesh(jax.devices()[:4]),
+                  augment_fn=random_augment_batch)
+        got = fit_multihost(mk(), train, val, loss_fn=cfg, epochs=2,
+                            batch_size=8, save_dir=str(tmp_path / "b"),
+                            name="x", eval_loss_cfg=cfg, seed=0,
+                            verbose=False, augment_fn=random_augment_batch)
+        # the sharded augment's float-epsilon interpolation diffs (3e-6,
+        # test above) perturb gradients and compound across the epoch's
+        # optimizer steps to ~1e-4..7e-4 observed; a key-schedule bug
+        # would show O(0.1) divergence
+        np.testing.assert_allclose(got.history["train_loss"],
+                                   ref.history["train_loss"], rtol=1e-3)
+        np.testing.assert_allclose(got.history["val_loss"],
+                                   ref.history["val_loss"], rtol=2e-3)
+    finally:
+        if old is None:
+            os.environ.pop("ISTPU_TRAIN_DEVICE_CACHE_MB", None)
+        else:
+            os.environ["ISTPU_TRAIN_DEVICE_CACHE_MB"] = old
