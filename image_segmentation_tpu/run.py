@@ -612,31 +612,35 @@ def main(argv=None):
             blockers.append("--cache-features")
         if args.eval_protocol != "device":
             blockers.append("--eval-protocol host")
-        if args.tensorboard:
-            blockers.append("--tensorboard")
         if blockers:
             raise SystemExit(
                 "[run] not supported with --multihost: "
                 + "; ".join(blockers)
             )
-        result = fit_multihost(
-            state,
-            train_data,
-            val_data,
-            loss_fn=loss_fn,
-            epochs=cfg.epochs,
-            batch_size=step_batch,
-            accum_steps=accum,
-            save_dir=args.save_dir,
-            name=cfg.name,
-            num_classes=cfg.num_classes,
-            eval_ignore_index=cfg.eval_ignore_index,
-            eval_batch_size=cfg.batch_size,
-            eval_loss_cfg=val_loss_fn,
-            seed=cfg.seed,
-            resume=args.resume,
-            augment_fn=augment_fn,
-        )
+        tb = _make_tb_logger(args, cfg) if jax.process_index() == 0 else None
+        try:
+            result = fit_multihost(
+                state,
+                train_data,
+                val_data,
+                loss_fn=loss_fn,
+                epochs=cfg.epochs,
+                batch_size=step_batch,
+                accum_steps=accum,
+                save_dir=args.save_dir,
+                name=cfg.name,
+                num_classes=cfg.num_classes,
+                eval_ignore_index=cfg.eval_ignore_index,
+                eval_batch_size=cfg.batch_size,
+                eval_loss_cfg=val_loss_fn,
+                seed=cfg.seed,
+                resume=args.resume,
+                augment_fn=augment_fn,
+                metrics_logger=tb,
+            )
+        finally:
+            if tb is not None:
+                tb.close()
         if jax.process_index() == 0:
             print(f"[run] done: best {result.best}")
         return result

@@ -148,6 +148,7 @@ def fit_multihost(
     save_weights_only_copy: bool = True,
     resume: bool = False,
     augment_fn=None,
+    metrics_logger=None,
 ) -> FitResult:
     """Train with per-epoch distributed validation and best-val-mIoU
     checkpointing across a multi-process mesh.
@@ -265,6 +266,16 @@ def fit_multihost(
         history["epoch_time_s"].append(_time.time() - t0)
         if proc0:
             _save_history(save_dir, name, history)
+            if metrics_logger is not None:
+                metrics_logger.log(epoch + 1, {
+                    "train/loss": train_loss,
+                    "val/loss": val["loss"],
+                    "val/dice": val["dice"],
+                    "val/miou": val["iou"],
+                    "val/acc": val["acc"],
+                    "val/per_class_iou": val["per_class_iou"],
+                    "time/epoch_s": history["epoch_time_s"][-1],
+                })
 
         improved = (val["loss"] < best["loss"] if np.isnan(val["iou"])
                     else val["iou"] > best["miou"])
