@@ -420,3 +420,54 @@ def test_fit_multihost_augment_matches_fit_single_process(tmp_path):
             os.environ.pop("ISTPU_TRAIN_DEVICE_CACHE_MB", None)
         else:
             os.environ["ISTPU_TRAIN_DEVICE_CACHE_MB"] = old
+
+
+def test_fit_multihost_prompt_dataset(tmp_path):
+    """The aux (heatmap) feeding branch of fit_multihost: a prompt model
+    trains and evaluates distributed in-process; heatmaps ride the same
+    column-feeding contract as images."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.data.dataset import ArrayDataset
+    from image_segmentation_tpu.data.loader import materialize
+    from image_segmentation_tpu.losses import DiceNLLLoss
+    from image_segmentation_tpu.models.clip_vit import ClipViTConfig
+    from image_segmentation_tpu.models.prompt import PromptModel
+    from image_segmentation_tpu.train import create_train_state
+    from image_segmentation_tpu.train.multihost_loop import fit_multihost
+    from image_segmentation_tpu.train.state import make_adamw
+
+    rng = np.random.default_rng(17)
+
+    def items(n, var):
+        out = []
+        for i in range(n):
+            h, w = (int(rng.integers(28, 40)), int(rng.integers(28, 40))) \
+                if var else (32, 32)
+            img = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+            heat = rng.uniform(0, 1, (h, w, 1)).astype(np.float32)
+            lab = np.zeros((h, w), np.int32)
+            lab[h // 2:, :] = 1 + (i % 3)
+            out.append((img, heat, lab))
+        return out
+
+    train = materialize(ArrayDataset(items(16, var=False)), 32)
+    val = materialize(ArrayDataset(items(6, var=True)), 32,
+                      keep_orig_labels=True)
+    vit = ClipViTConfig(image_size=32, patch_size=16, hidden_size=64,
+                        num_layers=3, num_heads=4, mlp_dim=128)
+    model = PromptModel(num_classes=4, vit=vit, unet_base=4,
+                        skip_indices=(0, 1, 2, 3),
+                        decoder_channels=(32, 16, 8, 8, 8))
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+        make_adamw(1e-3), extra_inputs=(jnp.zeros((1, 32, 32, 1)),),
+    )
+    cfg = DiceNLLLoss(ignore_index=3, apply_softmax=False, smooth_dice=1e-5)
+    res = fit_multihost(state, train, val, loss_fn=cfg, epochs=2,
+                        batch_size=8, save_dir=str(tmp_path), name="p",
+                        eval_loss_cfg=cfg, seed=0, verbose=False)
+    assert np.isfinite(res.history["train_loss"]).all()
+    assert np.isfinite(res.history["val_loss"]).all()
+    assert res.history["train_loss"][-1] < res.history["train_loss"][0]
