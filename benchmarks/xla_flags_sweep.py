@@ -54,11 +54,17 @@ def main() -> None:
             env = dict(os.environ)
             base = env.get("XLA_FLAGS", "")
             env["XLA_FLAGS"] = (base + " " + flags).strip()
-            r = subprocess.run(
-                [sys.executable, "bench.py", "--steps", str(args.steps)],
-                cwd=root, env=env, capture_output=True, text=True,
-                timeout=1800,
-            )
+            try:
+                r = subprocess.run(
+                    [sys.executable, "bench.py", "--steps", str(args.steps)],
+                    cwd=root, env=env, capture_output=True, text=True,
+                    timeout=1800,
+                )
+            except subprocess.TimeoutExpired:
+                # a pathological flag config must not abort the sweep
+                print(json.dumps({"config": name,
+                                  "error": "timed out after 1800s"}))
+                continue
             line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
             try:
                 val = json.loads(line)["value"]

@@ -36,6 +36,7 @@ step against the single-process 4-device step on identical data.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -208,13 +209,18 @@ def global_prebatched_from_local(local, mesh: Mesh, batch_size: int):
     return jax.tree_util.tree_map(assemble, local)
 
 
+@functools.lru_cache(maxsize=8)
+def _replicate_fn(mesh: Mesh):
+    # cached per mesh: a fresh jax.jit(lambda ...) per call would
+    # re-trace and re-compile the gather program on every invocation
+    return jax.jit(lambda y: y, out_shardings=NamedSharding(mesh, P()))
+
+
 def replicate_result(x, mesh: Mesh):
     """All-gather a (possibly sharded) device result to a fully
     replicated array every process can read on the host — e.g. the
     per-image losses the distributed eval returns. Collective."""
-    return jax.jit(
-        lambda y: y, out_shardings=NamedSharding(mesh, P())
-    )(x)
+    return _replicate_fn(mesh)(x)
 
 
 def assert_same_across_processes(

@@ -515,6 +515,11 @@ def main(argv=None):
         print("[run] online on-device augmentation enabled")
 
     eval_state_fn = None
+    if args.cache_features and jax.process_count() > 1:
+        # refuse BEFORE the expensive feature precompute below
+        raise SystemExit(
+            "[run] not supported with --multihost: --cache-features"
+        )
     if (
         args.cache_features
         and cfg.model == "clipunet"
@@ -583,7 +588,9 @@ def main(argv=None):
     accum = max(1, min(cfg.accum_steps, len(train_data) // micro))
     step_batch = micro * accum
     device_cap = args.max_devices or jax.device_count()
-    if min(jax.device_count(), device_cap) > 1:
+    if min(jax.device_count(), device_cap) > 1 and jax.process_count() == 1:
+        # single-controller DP mesh; multi-process runs build their own
+        # global mesh inside fit_multihost (branch below)
         # shard over the largest device count that divides the MICRObatch
         # (not the accumulated step batch): the step body reshapes the
         # sharded batch into accum microbatches of `micro`, so a mesh
@@ -619,25 +626,28 @@ def main(argv=None):
             )
         tb = _make_tb_logger(args, cfg) if jax.process_index() == 0 else None
         try:
-            result = fit_multihost(
-                state,
-                train_data,
-                val_data,
-                loss_fn=loss_fn,
-                epochs=cfg.epochs,
-                batch_size=step_batch,
-                accum_steps=accum,
-                save_dir=args.save_dir,
-                name=cfg.name,
-                num_classes=cfg.num_classes,
-                eval_ignore_index=cfg.eval_ignore_index,
-                eval_batch_size=cfg.batch_size,
-                eval_loss_cfg=val_loss_fn,
-                seed=cfg.seed,
-                resume=args.resume,
-                augment_fn=augment_fn,
-                metrics_logger=tb,
-            )
+            with trace_context(args.profile_dir
+                               if jax.process_index() == 0 else None):
+                result = fit_multihost(
+                    state,
+                    train_data,
+                    val_data,
+                    loss_fn=loss_fn,
+                    epochs=cfg.epochs,
+                    batch_size=step_batch,
+                    accum_steps=accum,
+                    save_dir=args.save_dir,
+                    name=cfg.name,
+                    num_classes=cfg.num_classes,
+                    eval_ignore_index=cfg.eval_ignore_index,
+                    eval_batch_size=cfg.batch_size,
+                    eval_loss_cfg=val_loss_fn,
+                    seed=cfg.seed,
+                    resume=args.resume,
+                    augment_fn=augment_fn,
+                    metrics_logger=tb,
+                    checkpoint_every=args.ckpt_every,
+                )
         finally:
             if tb is not None:
                 tb.close()

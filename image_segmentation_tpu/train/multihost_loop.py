@@ -80,40 +80,87 @@ def _evaluate_multihost(state, val_data: MaterializedDataset, mesh, *,
     agg.reset()
     n = len(val_data)
     n_data = int(dict(mesh.shape).get("data", 1))
+    # same safety valves as loop._evaluate_device: shrink the eval batch
+    # when the (B, Hc, Wc, C+1) inverse buffer would blow the per-device
+    # 2^31 limit (budget scales with the data axis), keeping B a multiple
+    # of it
+    hc, wc = canvases.shape[1:]
+    batch_bytes = lambda b: b * hc * wc * (num_classes + 1) * 4
     k = max(1, batch_size // n_data)
+    while k > 1 and batch_bytes(k * n_data) > 2**31 * n_data:
+        k //= 2
     batch_size = k * n_data
     nb = -(-n // batch_size)
     idx_mat = np.minimum(
         np.arange(nb * batch_size).reshape(nb, batch_size), n - 1
     ).astype(np.int32)
     real_mat = np.arange(nb * batch_size).reshape(nb, batch_size) < n
+    cols = process_local_batch_columns(batch_size, mesh)
+    # each process materialises ONLY its column block — index with
+    # idx_mat[:, cols] so no process ever builds the global layout
+    loc = lambda a: np.asarray(a)[idx_mat[:, cols]]
 
-    key = (tuple(sorted(dict(mesh.shape).items())), batch_size)
-    if cache.get("key") != key:
-        cols = process_local_batch_columns(batch_size, mesh)
-        loc = lambda a: np.asarray(a)[idx_mat][:, cols]
-        b_inputs = (global_prebatched_from_local(loc(val_data.images),
-                                                 mesh, batch_size),)
-        if val_data.has_heatmaps:
-            b_inputs += (global_prebatched_from_local(
-                loc(val_data.heatmaps), mesh, batch_size),)
-        cache.update(key=key, payload=(
-            b_inputs,
-            G.ResizeMeta(*(global_prebatched_from_local(loc(f), mesh,
-                                                        batch_size)
-                           for f in val_data.metas)),
-            global_prebatched_from_local(loc(canvases), mesh, batch_size),
-            global_prebatched_from_local(real_mat[:, cols], mesh,
-                                         batch_size),
-        ))
-    b_inputs, b_metas, b_canv, b_real = cache["payload"]
-    eval_epoch = fast_eval.get_eval_epoch_prebatched_fn(
-        canvases.shape[1:], num_classes, loss_cfg
+    cache_mb = float(os.environ.get("ISTPU_EVAL_DEVICE_CACHE_MB", "4096"))
+    total_bytes = (
+        val_data.images.nbytes + canvases.nbytes
+        + (val_data.heatmaps.nbytes if val_data.has_heatmaps else 0)
     )
-    with mesh:
-        conf, losses = eval_epoch(state, b_inputs, b_metas, b_canv, b_real)
+    if total_bytes <= cache_mb * 2**20:
+        key = (tuple(sorted(dict(mesh.shape).items())), batch_size)
+        if cache.get("key") != key:
+            b_inputs = (global_prebatched_from_local(loc(val_data.images),
+                                                     mesh, batch_size),)
+            if val_data.has_heatmaps:
+                b_inputs += (global_prebatched_from_local(
+                    loc(val_data.heatmaps), mesh, batch_size),)
+            cache.update(key=key, payload=(
+                b_inputs,
+                G.ResizeMeta(*(global_prebatched_from_local(loc(f), mesh,
+                                                            batch_size)
+                               for f in val_data.metas)),
+                global_prebatched_from_local(loc(canvases), mesh,
+                                             batch_size),
+                global_prebatched_from_local(real_mat[:, cols], mesh,
+                                             batch_size),
+            ))
+        b_inputs, b_metas, b_canv, b_real = cache["payload"]
+        eval_epoch = fast_eval.get_eval_epoch_prebatched_fn(
+            canvases.shape[1:], num_classes, loss_cfg
+        )
+        with mesh:
+            conf, losses = eval_epoch(state, b_inputs, b_metas, b_canv,
+                                      b_real)
+        losses = np.asarray(replicate_result(losses, mesh)).reshape(-1)
+    else:
+        # oversized val set: stream per batch, assembling each batch's
+        # column block on the fly — only one batch is ever resident
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        row_sh = NamedSharding(mesh, P("data"))
+        eval_batch = fast_eval.get_eval_batch_fn(
+            canvases.shape[1:], num_classes, loss_cfg
+        )
+        put = lambda x: jax.make_array_from_process_local_data(
+            row_sh, np.asarray(x), (batch_size,) + np.asarray(x).shape[1:]
+        )
+        conf = jnp.zeros((num_classes, num_classes), jnp.int32)
+        parts = []
+        for b in range(nb):
+            rows = idx_mat[b][cols]
+            inputs = (put(val_data.images[rows]),)
+            if val_data.has_heatmaps:
+                inputs += (put(val_data.heatmaps[rows]),)
+            metas = G.ResizeMeta(*(put(np.asarray(f)[rows])
+                                   for f in val_data.metas))
+            with mesh:
+                bconf, blosses = eval_batch(
+                    state, inputs, metas, put(canvases[rows]),
+                    put(real_mat[b][cols]),
+                )
+            conf = conf + bconf
+            parts.append(np.asarray(replicate_result(blosses, mesh)))
+        losses = np.concatenate(parts)
     conf = np.asarray(replicate_result(conf, mesh))
-    losses = np.asarray(replicate_result(losses, mesh))
     agg.accumulate_confusion(conf)
     dice, iou, acc = agg.compute_epoch_metrics()
     flat_real = real_mat.reshape(-1)
@@ -149,6 +196,7 @@ def fit_multihost(
     resume: bool = False,
     augment_fn=None,
     metrics_logger=None,
+    checkpoint_every: int = 1,
 ) -> FitResult:
     """Train with per-epoch distributed validation and best-val-mIoU
     checkpointing across a multi-process mesh.
@@ -289,18 +337,28 @@ def fit_multihost(
         # (shared checkpoint filesystem, the standard pod setup), and
         # np.asarray on the fully replicated state is valid everywhere.
         # Synchronous (not write-behind): the async machinery is
-        # single-controller.
+        # single-controller. On improved epochs the '_last' preemption
+        # point is a proc-0 FILE COPY of the just-written best directory
+        # (fit() shares one device fetch via extra_paths the same way) —
+        # never a second device fetch.
+        last_due = (
+            (epoch + 1) % max(1, checkpoint_every) == 0
+            or epoch == epochs - 1
+        )
         if improved:
             ckpt.save_checkpoint(ckpt_path, state, epoch=epoch, best=best,
-                                 history=history, notes=notes)
-            ckpt.save_checkpoint(last_path, state, epoch=epoch, best=best,
                                  history=history, notes=notes)
             if save_weights_only_copy:
                 ckpt.save_params_only(weights_path, state.params,
                                       state.batch_stats)
+            if proc0:
+                import shutil
+
+                shutil.rmtree(last_path, ignore_errors=True)
+                shutil.copytree(ckpt_path, last_path)
             if verbose and proc0:
                 print(f"  saved checkpoint (new best miou {val['iou']:.4f})")
-        else:
+        elif last_due:
             ckpt.save_checkpoint(last_path, state, epoch=epoch, best=best,
                                  history=history, notes=notes)
 

@@ -111,7 +111,7 @@ nb = -(-n // Bv)
 idx_mat = np.minimum(np.arange(nb * Bv).reshape(nb, Bv), n - 1)
 real_mat = np.arange(nb * Bv).reshape(nb, Bv) < n
 cols = process_local_batch_columns(Bv, mesh)
-loc = lambda a: np.asarray(a)[idx_mat][:, cols]
+loc = lambda a: np.asarray(a)[idx_mat[:, cols]]  # no global copy
 b_inputs = (global_prebatched_from_local(loc(val.images), mesh, Bv),)
 b_metas = G.ResizeMeta(
     *(global_prebatched_from_local(loc(f), mesh, Bv) for f in val.metas)
@@ -127,7 +127,10 @@ conf = np.asarray(replicate_result(conf, mesh))
 losses = np.asarray(replicate_result(losses, mesh))
 val_loss = float(losses.reshape(-1)[real_mat.reshape(-1)].mean())
 assert_same_across_processes(val_loss, mesh, name="val loss")
-print(f"EVAL {PID} {val_loss!r} {conf.reshape(-1).tolist()!r}", flush=True)
+import json as _json
+
+print(f"EVAL {PID} {val_loss!r} "
+      f"{_json.dumps(conf.reshape(-1).tolist())}", flush=True)
 
 # fit() is single-controller; in a process group it must refuse loudly
 # (its host-side uploads/checkpoint fetches assume fully-addressable

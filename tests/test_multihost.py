@@ -136,9 +136,11 @@ def test_two_process_train_step_matches_single_process():
                 _, pid, val = line.split()
                 losses[int(pid)] = float(val)
             elif line.startswith("EVAL "):
+                import json
+
                 _, pid, rest = line.split(None, 2)
                 val, conf = rest.split(None, 1)
-                evals[int(pid)] = (float(val), eval(conf))
+                evals[int(pid)] = (float(val), json.loads(conf))
     assert set(losses) == {0, 1}, f"missing LOSS lines:\n{outs}"
     # replicated loss identical across processes (assert_same_across_
     # processes already tripwired inside the workers)
@@ -471,3 +473,37 @@ def test_fit_multihost_prompt_dataset(tmp_path):
     assert np.isfinite(res.history["train_loss"]).all()
     assert np.isfinite(res.history["val_loss"]).all()
     assert res.history["train_loss"][-1] < res.history["train_loss"][0]
+
+
+def test_fit_multihost_streaming_eval_fallback(tmp_path, monkeypatch):
+    """Oversized val sets stream per-batch inside _evaluate_multihost;
+    metrics must match the cached prebatched path."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.losses import DiceCELoss
+    from image_segmentation_tpu.models import UNet
+    from image_segmentation_tpu.train import create_train_state
+    from image_segmentation_tpu.train.multihost_loop import fit_multihost
+    from image_segmentation_tpu.train.state import make_adamw
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from multihost_recipe import make_train_val
+
+    train, val = make_train_val()
+    mk = lambda: create_train_state(
+        UNet(num_classes=4, base=8), jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 32, 3)), make_adamw(learning_rate=1e-3),
+    )
+    cfg = DiceCELoss(ignore_index=3)
+    ref = fit_multihost(mk(), train, val, loss_fn=cfg, epochs=1,
+                        batch_size=8, save_dir=str(tmp_path / "a"),
+                        name="x", eval_loss_cfg=cfg, seed=0, verbose=False)
+    monkeypatch.setenv("ISTPU_EVAL_DEVICE_CACHE_MB", "0")
+    got = fit_multihost(mk(), train, val, loss_fn=cfg, epochs=1,
+                        batch_size=8, save_dir=str(tmp_path / "b"),
+                        name="x", eval_loss_cfg=cfg, seed=0, verbose=False)
+    assert got.history["val_loss"] == pytest.approx(
+        ref.history["val_loss"], abs=1e-6)
+    assert got.history["val_iou"] == pytest.approx(
+        ref.history["val_iou"], abs=1e-9)
