@@ -121,7 +121,7 @@ def test_two_process_train_step_matches_single_process():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     finally:
         for p in procs:
@@ -258,7 +258,7 @@ def test_two_process_fit_multihost_matches_single_process(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     finally:
         for p in procs:
@@ -330,7 +330,7 @@ def test_multihost_cli_end_to_end(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     finally:
         for p in procs:
