@@ -31,7 +31,11 @@ import numpy as np
 
 
 def _np(v):
-    return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+    # Always copy: torch's .numpy() is a view of the tensor's storage, and
+    # the JAX CPU backend zero-copies aligned numpy arrays — without the
+    # copy, a converted tree aliases the live torch model and later
+    # in-place torch updates (opt.step()) silently mutate the JAX params.
+    return np.array(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
 
 
 def _conv(sd, prefix):

@@ -351,7 +351,16 @@ def main():
                    help="serve the whole slice: replicate weights over "
                         "all visible devices and shard batched requests "
                         "across them (pairs with --max-batch)")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache directory: "
+                        "restarts of the same server (same models/shapes) "
+                        "skip their first-compile / warmup compile stalls")
     args = p.parse_args()
+
+    if args.compile_cache:
+        from image_segmentation_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache)
 
     mesh = None
     if args.mesh:

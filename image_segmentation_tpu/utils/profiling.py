@@ -12,6 +12,11 @@ equivalents:
   * `enable_nan_checks()` — flips `jax_debug_nans` (the race-detector /
     sanitizer analogue for a functional array program: any NaN produced
     under jit raises at the producing op).
+  * `enable_compilation_cache(dir)` — persistent XLA compilation cache
+    shared across processes: the second serving start / training run of
+    the same program skips its 20-40 s first-compile entirely. The
+    reference has no compile step at all (eager torch), so this is the
+    deployment-latency knob the TPU design newly needs.
 """
 from __future__ import annotations
 
@@ -40,6 +45,36 @@ def enable_nan_checks(enable: bool = True) -> None:
     import jax
 
     jax.config.update("jax_debug_nans", enable)
+
+
+def enable_compilation_cache(
+    cache_dir: str, min_compile_seconds: float = 1.0
+) -> None:
+    """Persist compiled XLA executables under `cache_dir` and reuse them
+    across processes.
+
+    Set this before the first compilation (it applies to everything
+    compiled afterwards). Programs cheaper than `min_compile_seconds`
+    are not persisted — they recompile faster than a disk round-trip;
+    pass 0.0 to persist everything (tests do).
+
+    The cache key covers the HLO, compile options, and backend/compiler
+    version, so a stale entry can never be served to a different
+    program or chip generation; a populated directory is safe to ship
+    alongside AOT `.istpu` artifacts for fleet rollouts.
+    """
+    import os
+
+    import jax
+
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", min_compile_seconds
+    )
+    # persist regardless of executable size (the default size floor can
+    # silently skip small-but-slow-to-compile programs)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 class StepTimer:
