@@ -13,7 +13,18 @@ Shapes: the UNet's two heaviest conv layers at 256px serving
 (B=64, 256x256x64 3x3 conv; B=64, 128x128x128 3x3 conv).
 
 Usage: python benchmarks/int8_probe.py [--steps 20]
-Results land in this docstring once measured on the TPU.
+
+MEASURED (v5e via axon, 2026-08-18, --steps 20, B=64):
+  (64,256,256,64)x(3,3,64,64):   bf16 14.86 ms (20.8 TOP/s),
+                                 int8 14.01 ms (22.1 TOP/s) -> 1.06x
+  (64,128,128,128)x(3,3,128,128): bf16 5.74 ms (53.9 TOP/s),
+                                 int8  4.21 ms (73.4 TOP/s) -> 1.36x
+VERDICT: PARKED. The UNet's dominant serving cost is the wide shallow
+stem/head layers (the 256x256x64 shape), where XLA's int8 conv path is
+bandwidth-bound and gains only 6%; only the deeper 128-channel layers
+clear the 1.3x gate. A full PTQ int8 forward would buy well under 15%
+end-to-end while adding a calibration step and quantization error —
+negative expected value, same call as the parked conv fusions.
 """
 from __future__ import annotations
 

@@ -1,0 +1,58 @@
+"""Ablation harness (benchmarks/ablations.py): the reference report's
+controlled comparisons as a reproducible artifact.
+
+CPU smoke: the hard synthetic task materialises, the harness runs one
+experiment end-to-end, and its JSON rows carry the contract fields.
+The measured TPU table lives in the harness docstring / PERFORMANCE.md.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(_ROOT, "benchmarks"))
+
+from ablations import hard_synthetic_items  # noqa: E402
+
+
+def test_hard_synthetic_items_contract():
+    items = hard_synthetic_items(8, seed=0)
+    assert len(items) == 8
+    sentinel_seen = False
+    fg = 0
+    total = 0
+    for img, label in items:
+        assert img.dtype == np.float32 and img.min() >= 0 and img.max() <= 1
+        assert label.shape == img.shape[:2]
+        vals = set(np.unique(label).tolist())
+        assert vals <= {0, 1, 2, 255}
+        sentinel_seen |= 255 in vals
+        fg += int(np.isin(label, (1, 2)).sum())
+        total += label.size
+    assert sentinel_seen, "no boundary sentinel produced"
+    # the task is imbalanced by design: foreground well under half
+    assert 0.01 < fg / total < 0.35
+
+
+@pytest.mark.slow
+def test_loss_experiment_runs_end_to_end():
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "benchmarks/ablations.py", "--experiments", "loss"],
+        cwd=_ROOT, env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+    runs = [x for x in rows if "experiment" in x]
+    summaries = [x for x in rows if "summary" in x]
+    assert {x["variant"] for x in runs} == {"ce", "dice_ce"}
+    for x in runs:
+        assert 0.0 <= x["best_dice"] <= 1.0
+        assert 0.0 <= x["best_miou"] <= 1.0
+        assert x["steady_epoch_s"] > 0
+    assert summaries and summaries[0]["summary"] == "loss"
+    assert summaries[0]["winner"] in ("ce", "dice_ce")
