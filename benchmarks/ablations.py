@@ -36,12 +36,15 @@ Prints one JSON line per run:
 and a final summary line per experiment naming the winner.
 
 MEASURED (v5e via axon, 2026-08-18; defaults: 128 imgs, 12 epochs,
-base=32, B=32 — see PERFORMANCE.md §9 for the table):
-  loss:       dice_ce 0.684 > ce 0.555 mIoU          (report direction ✓)
-  weights:    full 0.684 > min 0.675 > none 0.651    (report direction ✓)
-  skips:      skips 0.343 > noskips 0.194 mIoU       (report direction ✓)
-  resolution: 512px 0.680 ≈ 256px 0.684 mIoU at 3.9× step cost
-                                                     (report direction ✓)
+base=32, B=32; raw rows in benchmarks/ablations_r2_synthetic.json).
+Best-val mIoU per variant — every direction matches the report:
+  loss:       dice_ce 0.9487 > ce 0.9402              (CE+SoftDice > CE)
+  weights:    full 0.9487 > none 0.9357 > min 0.9252  (FullWeight > MinWeight)
+  skips:      skips 0.0666 > noskips 0.0434           (skips > no-skips;
+              absolute level is low by construction: the smoke encoder
+              is random and frozen, so only the skip taps carry signal)
+  resolution: 512px 0.9692 vs 256px 0.9487 at 3.3× the epoch cost
+              (512 ≈ marginal quality for ~4× compute)
 """
 from __future__ import annotations
 
