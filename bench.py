@@ -224,6 +224,10 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="unet", choices=["unet", "clipunet"])
     p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--repeat", type=int, default=3,
+                   help="timing windows per benchmark; the best window "
+                        "is reported (de-noises host contention and "
+                        "tunnel jitter)")
     p.add_argument("--batch", type=int, default=0, help="0 = auto")
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--infer", action="store_true", help="benchmark inference")
@@ -316,11 +320,13 @@ def main() -> None:
             call, _ = load_exported(path)
         out = call(images)
         np.asarray(out[0, 0, 0])  # compile + hard sync
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out = call(images)
-        np.asarray(out[0, 0, 0])
-        dt = time.perf_counter() - t0
+        dt = np.inf
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                out = call(images)
+            np.asarray(out[0, 0, 0])
+            dt = min(dt, time.perf_counter() - t0)
         metric = f"{name}_infer_exported_images_per_sec_per_chip_{size_used}px"
     elif args.infer:
         fwd = jax.jit(
@@ -329,23 +335,31 @@ def main() -> None:
             )
         )
         np.asarray(fwd(state, images))  # compile + sync
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out = fwd(state, images)
-        # block_until_ready is unreliable over the axon tunnel; a value
-        # fetch is a hard sync.
-        np.asarray(out[0, 0, 0])
-        dt = time.perf_counter() - t0
+        dt = np.inf
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                out = fwd(state, images)
+            # block_until_ready is unreliable over the axon tunnel; a
+            # value fetch is a hard sync.
+            np.asarray(out[0, 0, 0])
+            dt = min(dt, time.perf_counter() - t0)
         metric = f"{name}_infer_images_per_sec_per_chip_{size_used}px"
     else:
         step = make_train_step(DiceCELoss(ignore_index=3))
         state, loss = step(state, (images, labels))  # compile
         float(loss)  # hard sync (block_until_ready no-ops over the tunnel)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, loss = step(state, (images, labels))
-        float(loss)
-        dt = time.perf_counter() - t0
+        # Best of `--repeat` timing windows: one window is vulnerable to
+        # transient host contention and tunnel jitter (observed: the same
+        # executable measuring 285 vs 418 img/s under a concurrent test
+        # run); the best window is the executable's actual throughput.
+        dt = np.inf
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                state, loss = step(state, (images, labels))
+            float(loss)
+            dt = min(dt, time.perf_counter() - t0)
         metric = f"{name}_train_images_per_sec_per_chip_{size_used}px"
 
     value = batch * steps / dt

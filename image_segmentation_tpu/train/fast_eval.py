@@ -220,18 +220,28 @@ def _eval_batch_core(state, inputs, metas, labels, real, canvas_hw,
     # sharded over a mesh (loop._evaluate_device's distributed eval): the
     # only cross-device communication is the final (C, C) reduction,
     # which GSPMD lowers to one psum.
+    #
+    # Counting is one-hot(label)ᵀ @ one-hot(pred) — two (P, C) one-hots
+    # and a matmul XLA tiles onto the MXU — NOT a bincount: TPU lowers
+    # bincount to a serialized scatter-add, which measured 2.3× slower
+    # end-to-end on this protocol (benchmarks/eval_bench.py). FILL (255)
+    # one-hots to all-zero rows, so invalid pixels drop out of the
+    # counts exactly; f32 accumulation is exact here (per-cell counts
+    # ≤ Hc·Wc ≪ 2^24).
     def _conf_one(labels_i, pred_i, valid_i):
-        idx = jnp.where(
-            valid_i,
-            jnp.clip(labels_i, 0, num_classes - 1) * num_classes + pred_i,
-            num_classes * num_classes,
-        )
-        return jnp.bincount(
-            idx.reshape(-1), length=num_classes * num_classes + 1
-        )[:-1].reshape(num_classes, num_classes)
+        t = jax.nn.one_hot(labels_i.reshape(-1), num_classes,
+                           dtype=jnp.float32)
+        t = t * valid_i.reshape(-1, 1).astype(jnp.float32)
+        p = jax.nn.one_hot(pred_i.reshape(-1), num_classes,
+                           dtype=jnp.float32)
+        return jnp.einsum("nt,np->tp", t, p)
 
     conf_per = jax.vmap(_conf_one)(labels, pred, valid)
-    conf = (conf_per * real[:, None, None].astype(conf_per.dtype)).sum(axis=0)
+    conf = (
+        (conf_per * real[:, None, None].astype(conf_per.dtype))
+        .sum(axis=0)
+        .astype(jnp.int32)
+    )
     if loss_fn is not None:
         losses = jax.vmap(loss_fn)(inv, labels, valid)
     else:
