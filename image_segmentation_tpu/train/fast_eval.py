@@ -183,7 +183,7 @@ def _build_eval_batch_fn(canvas_hw: Tuple[int, int], num_classes: int,
     """Jitted per-batch evaluator (cached per canvas/classes/loss).
 
     eval_batch(state, inputs, metas, label_canvases, real) ->
-      (conf (C, C) f32, losses (B,) f32)
+      (conf (C, C) i32, losses (B,) f32)
     `real` is a (B,) bool masking the repeated tail of the padded last
     batch out of the confusion counts (losses for those entries are
     computed but discarded by the caller)."""
@@ -224,24 +224,28 @@ def _eval_batch_core(state, inputs, metas, labels, real, canvas_hw,
     # Counting is one-hot(label)ᵀ @ one-hot(pred) — two (P, C) one-hots
     # and a matmul XLA tiles onto the MXU — NOT a bincount: TPU lowers
     # bincount to a serialized scatter-add, which measured 2.3× slower
-    # end-to-end on this protocol (benchmarks/eval_bench.py). FILL (255)
-    # one-hots to all-zero rows, so invalid pixels drop out of the
-    # counts exactly; f32 accumulation is exact here (per-cell counts
-    # ≤ Hc·Wc ≪ 2^24).
+    # in an isolated formulation probe (benchmarks/confusion_probe.py;
+    # end-to-end protocol numbers in benchmarks/eval_bench.py). FILL
+    # (255) one-hots to all-zero rows, so invalid pixels DROP out of the
+    # counts (the old bincount path clamped out-of-range labels into
+    # class C-1 instead — drop is the more correct semantic for the
+    # packed canvases, whose labels are only ever 0..C-1 or FILL; the
+    # host oracle parity tests cover an out-of-range-label case).
+    # The per-image einsum is exact in f32 (per-cell counts ≤ Hc·Wc
+    # ≪ 2^24); each image's counts are cast to int32 BEFORE the masked
+    # batch sum so the epoch totals are exact integers for any batch
+    # size / canvas (an f32 batch sum would cap at 2^24 over
+    # B·Hc·Wc pixels).
     def _conf_one(labels_i, pred_i, valid_i):
         t = jax.nn.one_hot(labels_i.reshape(-1), num_classes,
                            dtype=jnp.float32)
         t = t * valid_i.reshape(-1, 1).astype(jnp.float32)
         p = jax.nn.one_hot(pred_i.reshape(-1), num_classes,
                            dtype=jnp.float32)
-        return jnp.einsum("nt,np->tp", t, p)
+        return jnp.einsum("nt,np->tp", t, p).astype(jnp.int32)
 
     conf_per = jax.vmap(_conf_one)(labels, pred, valid)
-    conf = (
-        (conf_per * real[:, None, None].astype(conf_per.dtype))
-        .sum(axis=0)
-        .astype(jnp.int32)
-    )
+    conf = (conf_per * real[:, None, None].astype(jnp.int32)).sum(axis=0)
     if loss_fn is not None:
         losses = jax.vmap(loss_fn)(inv, labels, valid)
     else:

@@ -14,9 +14,11 @@ from image_segmentation_tpu.data.loader import materialize
 from image_segmentation_tpu.losses import DiceCELoss, DiceNLLLoss
 from image_segmentation_tpu.losses.host import dice_ce_loss_np
 from image_segmentation_tpu.models import UNet
+from image_segmentation_tpu.ops import geometry as G
 from image_segmentation_tpu.train import create_train_state
 from image_segmentation_tpu.train.fast_eval import (
     FILL,
+    get_eval_batch_fn,
     make_masked_loss,
     pack_label_canvases,
 )
@@ -47,6 +49,47 @@ def test_pack_label_canvases_layout():
     assert (c[0, 5:, :] == FILL).all() and (c[0, :, 9:] == FILL).all()
     assert (c[1, :12, :4] == 0).all()
     assert (c[1, 12:, :] == FILL).all()
+
+
+def test_confusion_counts_int32_and_drop_semantics():
+    """The batched confusion sum must be exact int32 and must DROP
+    out-of-range label values (not clamp them into class C-1, as the old
+    bincount formulation did). Labels on packed canvases are only ever
+    0..C-1 or FILL, but the contract is pinned here in case malformed
+    label data ever reaches the evaluator."""
+    from image_segmentation_tpu.train.state import TrainState
+
+    t, C = 16, 4
+    # identity geometry: orig == new == canvas == t, no padding
+    meta = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x)[None],
+        G.compute_meta(t, t, t),
+    )
+    # scores whose argmax is a fixed known class map
+    pred_map = np.zeros((t, t), np.int32)
+    pred_map[:, t // 2 :] = 2
+    scores = np.full((1, t, t, C), -5.0, np.float32)
+    for c in range(C):
+        scores[0][pred_map == c, c] = 5.0
+
+    labels = np.zeros((1, t, t), np.uint8)
+    labels[0, : t // 2, :] = 1
+    labels[0, 0, 0] = 200          # valid (≠ FILL) but out of range
+    labels[0, -1, -1] = FILL       # canvas padding
+
+    state = TrainState(
+        step=0, params={}, batch_stats={}, opt_state=None,
+        apply_fn=lambda variables, x, train: x, tx=None,
+    )
+    fn = get_eval_batch_fn((t, t), C, None)
+    conf, _ = fn(state, (jnp.asarray(scores),), meta,
+                 jnp.asarray(labels), jnp.ones((1,), bool))
+    conf = np.asarray(conf)
+    assert conf.dtype == np.int32
+    # the 200-label pixel and the FILL pixel are both absent
+    assert conf.sum() == t * t - 2
+    # nothing was clamped into the last label row beyond true class-3 count
+    assert conf[3, :].sum() == 0
 
 
 def test_masked_loss_matches_host_on_full_canvas():
