@@ -28,6 +28,11 @@ def main(argv=None):
     p.add_argument("--torch-state-dict", default=None,
                    help="convert a torch-saved HF vision state dict file "
                         "instead of from_pretrained (no HF cache needed)")
+    p.add_argument("--safetensors", default=None,
+                   help="convert an HF .safetensors checkpoint (e.g. the "
+                        "model.safetensors of openai/clip-vit-base-patch16) "
+                        "— pure numpy parse, needs NEITHER torch nor the "
+                        "safetensors package on the host")
     p.add_argument("--from-config", action="store_true",
                    help="build the model locally from CLIPVisionConfig "
                         "(random init) — exercises the full conversion "
@@ -44,7 +49,20 @@ def main(argv=None):
         convert_hf_vision_state_dict,
     )
 
-    if args.torch_state_dict:
+    if args.safetensors:
+        from image_segmentation_tpu.utils.safetensors_io import (
+            read_safetensors,
+        )
+
+        # keep only the vision tower (the full CLIP checkpoint also
+        # carries the text tower + projections, which the ClipUNet
+        # encoder never consumes — reference clip/clipunet.py:7-65)
+        state_dict = read_safetensors(args.safetensors,
+                                      prefix="vision_model.")
+        if not state_dict:
+            sys.exit(f"{args.safetensors}: no 'vision_model.*' tensors — "
+                     "not an HF CLIP vision checkpoint?")
+    elif args.torch_state_dict:
         import torch
 
         state_dict = torch.load(args.torch_state_dict, map_location="cpu",
