@@ -40,9 +40,13 @@ class MaterializedDataset:
     device_eval_cache: Optional[tuple] = None
     # device-resident (contract_key, arrays) built once by train.loop's
     # fit / fit_reconstruction for the single-dispatch-per-epoch train
-    # path; the key tags payload kind + mesh layout so the two trainers
-    # never reuse each other's upload
+    # path; the key tags payload kind + residency dtype + mesh layout so
+    # the two trainers never reuse each other's upload
     device_train_cache: Optional[tuple] = None
+    # canvas-size bucket views built lazily by train.loop's device eval
+    # ([] = planner chose a single bucket); each view is itself a
+    # MaterializedDataset carrying its own canvases + device cache
+    bucket_views: Optional[list] = None
 
     def __len__(self) -> int:
         return self.images.shape[0]

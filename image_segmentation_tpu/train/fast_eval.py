@@ -61,6 +61,83 @@ def pack_label_canvases(
     return out
 
 
+def plan_size_buckets(
+    orig_labels,
+    multiple: int = 8,
+    max_buckets: int = 4,
+    min_bucket: int = 8,
+    min_gain: float = 0.15,
+):
+    """Partition image indices into ≤ `max_buckets` canvas-size buckets.
+
+    One dataset-max canvas makes every image pay the outlier's Hc×Wc
+    inverse-resample cost. Bucketing groups images by size so each
+    bucket gets its own (smaller) canvas + jitted evaluator; the
+    protocol math is canvas-size independent (content lands on
+    [0:h, 0:w] and FILL masks the rest), so results are bit-identical —
+    only the wasted canvas pixels change.
+
+    Partition choice: sort by rounded canvas area; exact DP over split
+    points minimising Σ bucket_size × bucket_max_h × bucket_max_w, with
+    every bucket ≥ `min_bucket` images (so batches stay full). A larger
+    K is accepted only while it saves ≥ `min_gain` of the cost — each
+    extra bucket costs one extra compile.
+
+    Returns a list of int index arrays (original order preserved inside
+    each bucket).
+    """
+    n = len(orig_labels)
+    hs = np.asarray([-(-l.shape[0] // multiple) * multiple
+                     for l in orig_labels], np.int64)
+    ws = np.asarray([-(-l.shape[1] // multiple) * multiple
+                     for l in orig_labels], np.int64)
+    if n < 2 * min_bucket or max_buckets <= 1:
+        return [np.arange(n)]
+    order = np.argsort(hs * ws, kind="stable")
+    sh, sw = hs[order], ws[order]
+    kmax = min(max_buckets, n // min_bucket)
+
+    # dp[k-1][j] = min cost of first j sorted items in k buckets
+    INF = np.inf
+    dp = np.full((kmax, n + 1), INF)
+    parent = np.zeros((kmax, n + 1), np.int64)
+    # cost(i, j) = (j-i)·max(sh[i:j])·max(sw[i:j]); for fixed j the maxima
+    # over i are reverse running maxima of the prefix — O(n) per j.
+    for j in range(1, n + 1):
+        rmax_h = np.maximum.accumulate(sh[:j][::-1])[::-1]
+        rmax_w = np.maximum.accumulate(sw[:j][::-1])[::-1]
+        sizes = j - np.arange(j)
+        cost_ij = sizes * rmax_h * rmax_w  # cost(i, j) for i = 0..j-1
+        dp[0][j] = cost_ij[0]
+        parent[0][j] = 0
+        for k in range(1, kmax):
+            # i ranges where both sides respect min_bucket
+            lo, hi = k * min_bucket, j - min_bucket + 1
+            if hi <= lo or j < (k + 1) * min_bucket:
+                continue
+            cand = dp[k - 1][lo:hi] + cost_ij[lo:hi]
+            a = int(np.argmin(cand))
+            dp[k][j] = cand[a]
+            parent[k][j] = lo + a
+
+    # accept K while each extra bucket saves ≥ min_gain
+    best_k = 0
+    for k in range(1, kmax):
+        if dp[k][n] < (1.0 - min_gain) * dp[best_k][n]:
+            best_k = k
+    # walk parents
+    bounds = [n]
+    k, j = best_k, n
+    while k > 0:
+        j = int(parent[k][j])
+        bounds.append(j)
+        k -= 1
+    bounds.append(0)
+    bounds = bounds[::-1]
+    return [np.sort(order[bounds[b]:bounds[b + 1]])
+            for b in range(len(bounds) - 1)]
+
+
 def _invert_one_to_canvas(scores_tt, meta: G.ResizeMeta, canvas_hw):
     """Inverse geometry for one image, on device, static output shape.
 

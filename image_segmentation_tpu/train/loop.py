@@ -110,12 +110,92 @@ def _evaluate_device(
     (reference utils/training.py:67-121)."""
     from image_segmentation_tpu.train import fast_eval
 
+    agg.reset()
+    n_data = 1 if mesh is None else int(dict(mesh.shape).get("data", 1))
+    if n_data > 1 or len(val_data) < 16:
+        # sharded runs keep the single dataset-max canvas (the
+        # pre-batched distributed layout is one upload); tiny sets
+        # aren't worth extra compiles
+        buckets = None
+    else:
+        if val_data.bucket_views is None:
+            plan = fast_eval.plan_size_buckets(val_data.orig_labels)
+            if len(plan) == 1:
+                val_data.bucket_views = []
+            else:
+                val_data.bucket_views = [
+                    dataclasses.replace(
+                        val_data,
+                        images=val_data.images[idx],
+                        labels=val_data.labels[idx],
+                        metas=G.ResizeMeta(
+                            *(np.asarray(f)[idx] for f in val_data.metas)
+                        ),
+                        heatmaps=(val_data.heatmaps[idx]
+                                  if val_data.has_heatmaps else None),
+                        orig_labels=[val_data.orig_labels[i] for i in idx],
+                        label_canvases=None,
+                        device_eval_cache=None,
+                        device_train_cache=None,
+                        bucket_views=None,
+                    )
+                    for idx in plan
+                ]
+        buckets = val_data.bucket_views or None
+
+    if buckets is not None:
+        if verbose:
+            sizes = [len(b) for b in buckets]
+            print(f"  val: {len(buckets)} canvas buckets {sizes}")
+        conf_total, losses_all = None, []
+        for view in buckets:
+            conf, losses = _eval_one_canvas(
+                state, view, loss_cfg=loss_cfg, num_classes=num_classes,
+                batch_size=batch_size, mesh=mesh,
+            )
+            conf_total = conf if conf_total is None else conf_total + conf
+            losses_all.extend(losses)
+    else:
+        conf_total, losses_all = _eval_one_canvas(
+            state, val_data, loss_cfg=loss_cfg, num_classes=num_classes,
+            batch_size=batch_size, mesh=mesh,
+        )
+    agg.accumulate_confusion(conf_total)
+    dice, iou, acc = agg.compute_epoch_metrics()
+    val_loss = float(np.mean(losses_all)) if losses_all else float("nan")
+    if verbose:
+        per_iou = agg.get_last_per_class_iou()
+        print(
+            f"  val: loss={val_loss:.4f} acc={acc:.4f} dice={dice:.4f} "
+            f"miou={iou:.4f} per-class IoU={np.round(per_iou, 4).tolist()}"
+        )
+    return {
+        "loss": val_loss,
+        "dice": dice,
+        "iou": iou,
+        "acc": acc,
+        "per_class_iou": np.asarray(agg.get_last_per_class_iou()),
+    }
+
+
+def _eval_one_canvas(
+    state,
+    val_data: MaterializedDataset,
+    *,
+    loss_cfg,
+    num_classes: int,
+    batch_size: int,
+    mesh=None,
+):
+    """The device eval protocol over ONE packed canvas (the whole set, or
+    one size bucket). Returns (confusion (C, C) int64, losses list)."""
+    from image_segmentation_tpu.train import fast_eval
+
     if val_data.label_canvases is None:
         val_data.label_canvases = fast_eval.pack_label_canvases(
             val_data.orig_labels
         )
     canvases = val_data.label_canvases
-    agg.reset()
     n = len(val_data)
     n_data = 1 if mesh is None else int(dict(mesh.shape).get("data", 1))
     sharded = n_data > 1
@@ -236,26 +316,13 @@ def _evaluate_device(
                 _stage(real_mat[b]),
             )
             results.append((conf, losses, int(counts[b])))
+    conf_total = np.zeros((num_classes, num_classes), np.int64)
     losses_all = []
     for conf, losses, count in results:
-        agg.accumulate_confusion(np.asarray(conf))
+        conf_total += np.asarray(conf).astype(np.int64)
         if loss_cfg is not None:
             losses_all.extend(np.asarray(losses)[:count].tolist())
-    dice, iou, acc = agg.compute_epoch_metrics()
-    val_loss = float(np.mean(losses_all)) if losses_all else float("nan")
-    if verbose:
-        per_iou = agg.get_last_per_class_iou()
-        print(
-            f"  val: loss={val_loss:.4f} acc={acc:.4f} dice={dice:.4f} "
-            f"miou={iou:.4f} per-class IoU={np.round(per_iou, 4).tolist()}"
-        )
-    return {
-        "loss": val_loss,
-        "dice": dice,
-        "iou": iou,
-        "acc": acc,
-        "per_class_iou": np.asarray(agg.get_last_per_class_iou()),
-    }
+    return conf_total, losses_all
 
 
 def evaluate(
@@ -377,13 +444,70 @@ def evaluate(
     }
 
 
+def _quantize_u8(a: np.ndarray) -> np.ndarray:
+    """[0,1] float array → 0..255 uint8 (round-to-nearest). Quantisation
+    error ≤ 1/510 per pixel — the same 8-bit granularity the reference's
+    on-disk images and heatmaps had before their /255 load-time scaling
+    (reference utils/dataset.py:39,90)."""
+    return np.clip(np.rint(np.asarray(a) * 255.0), 0, 255).astype(np.uint8)
+
+
+def _labels_u8(labels: np.ndarray) -> np.ndarray:
+    """Class-id labels → uint8 (ids are 0..C-1, or ≤255 sentinels)."""
+    labels = np.asarray(labels)
+    if labels.min() < 0 or labels.max() > 255:
+        raise ValueError(
+            f"labels outside uint8 range [{labels.min()}, {labels.max()}]"
+        )
+    return labels.astype(np.uint8)
+
+
+def _resident_plan(resident_dtype: str, f32_bytes: int, budget: int):
+    """Pick the HBM residency mode for the epoch trainer.
+
+    Returns (use_device_epoch, quantize): 'auto' keeps bit-exact float32
+    residency when it fits, drops to uint8 (4× capacity — e.g. ~20k
+    256px images inside the 4 GB default; capacity table in
+    PERFORMANCE.md) when only that fits, and streams otherwise."""
+    if resident_dtype == "float32":
+        return f32_bytes <= budget, False
+    if resident_dtype == "uint8":
+        return f32_bytes // 4 <= budget, True
+    if resident_dtype != "auto":
+        raise ValueError(f"resident_dtype {resident_dtype!r} not in "
+                         "('auto', 'float32', 'uint8')")
+    if f32_bytes <= budget:
+        return True, False
+    return f32_bytes // 4 <= budget, True
+
+
+def _stream_batches(batch_iter, put, lookahead: int = 2):
+    """Double-buffered streaming: issue the host→device transfer for the
+    next `lookahead` batches before yielding the current one, so uploads
+    overlap the (donated, async-dispatched) train step instead of
+    serialising with it. Matters most over slow device links, where the
+    per-batch path was measured 10× slower than HBM residency."""
+    from collections import deque
+
+    pending = deque()
+    for b in batch_iter:
+        pending.append(put(b))
+        if len(pending) > lookahead:
+            yield pending.popleft()
+    while pending:
+        yield pending.popleft()
+
+
 def _get_device_train_cache(train_data, kind, arrays, mesh):
     """Device-resident upload for the whole-epoch trainer, memoised on
     the dataset. `kind` tags the payload contract ('seg' images+labels,
-    'aux' images+heatmaps+labels, 'recon' (x, x)) plus the mesh layout —
-    a dataset pre-trained with fit_reconstruction and then segmented with
-    fit() must NOT silently reuse the reconstruction cache."""
-    key = (kind, None if mesh is None else tuple(sorted(mesh.shape.items())))
+    'aux' images+heatmaps+labels, 'recon' (x, x)) plus the residency
+    dtype plus the mesh layout — a dataset pre-trained with
+    fit_reconstruction and then segmented with fit() must NOT silently
+    reuse the reconstruction cache, nor a float32 run a uint8 upload."""
+    dtypes = tuple(str(np.asarray(a).dtype) for a in arrays)
+    key = (kind, dtypes,
+           None if mesh is None else tuple(sorted(mesh.shape.items())))
     cached = train_data.device_train_cache
     if cached is not None and cached[0] == key:
         return cached[1]
@@ -449,6 +573,7 @@ def fit(
     eval_loss_cfg=None,
     checkpoint_every: int = 1,
     metrics_logger=None,
+    resident_dtype: str = "auto",
 ) -> FitResult:
     """Train with per-epoch original-resolution validation and
     best-val-mIoU checkpointing (reference utils/training.py:453-618).
@@ -542,14 +667,20 @@ def fit(
         # Single-chip datasets within the HBM budget train as ONE dispatch
         # per epoch: data uploaded once, shuffle = an index permutation,
         # lax.scan over on-device gathered batches with the state donated
-        # (train/steps.py make_train_epoch). Meshed or oversized runs keep
-        # the per-batch dispatch path.
+        # (train/steps.py make_train_epoch). When the float32 dataset
+        # exceeds the budget but a uint8 copy fits (4× capacity — real
+        # augmented-Pet-scale datasets), images/heatmaps upload quantised
+        # 0..255 and labels as uint8 ids, decoded per gathered batch
+        # inside the scan body. Oversized runs keep the per-batch
+        # dispatch path, double-buffered.
         cache_mb = float(os.environ.get("ISTPU_TRAIN_DEVICE_CACHE_MB", "4096"))
         train_bytes = (
             train_data.images.nbytes + train_data.labels.nbytes
             + (train_data.heatmaps.nbytes if has_aux else 0)
         )
-        use_device_epoch = train_bytes <= cache_mb * 2**20
+        use_device_epoch, quantize = _resident_plan(
+            resident_dtype, train_bytes, int(cache_mb * 2**20)
+        )
         if use_device_epoch:
             from image_segmentation_tpu.train.steps import make_train_epoch
 
@@ -557,15 +688,25 @@ def fit(
             # the axis size; idx_mat never references the padding) — the
             # shuffle's cross-shard gathers become XLA collectives over
             # ICI instead of host feeds.
-            arrays = (train_data.images,) + (
-                (train_data.heatmaps,) if has_aux else ()
-            ) + (train_data.labels,)
+            if quantize:
+                if verbose:
+                    print(f"[fit] uint8 HBM residency "
+                          f"({train_bytes / 2**20:.0f} MB float32 > "
+                          f"{cache_mb:.0f} MB budget)")
+                arrays = (_quantize_u8(train_data.images),) + (
+                    (_quantize_u8(train_data.heatmaps),) if has_aux else ()
+                ) + (_labels_u8(train_data.labels),)
+            else:
+                arrays = (train_data.images,) + (
+                    (train_data.heatmaps,) if has_aux else ()
+                ) + (train_data.labels,)
             dev_train = _get_device_train_cache(
                 train_data, "aux" if has_aux else "seg", arrays, mesh
             )
             train_epoch = make_train_epoch(
                 loss_fn, accum_steps=accum_steps, has_aux_input=has_aux,
                 augment_fn=augment_fn, mesh=mesh,
+                resident_decode="seg" if quantize else None,
             )
         else:
             train_step = make_train_step(loss_fn, accum_steps=accum_steps,
@@ -597,14 +738,22 @@ def fit(
                 )
                 train_loss = float(np.mean(np.asarray(losses)))
             else:
+                # streaming fallback, double-buffered: transfers for the
+                # next batches are issued (async device_put) while the
+                # current step computes, so a slow device link overlaps
+                # the feed with compute instead of serialising with it
+                def _put(b):
+                    if mesh is not None:
+                        return shard_batch(b, mesh)  # sharded device_put
+                    return tuple(jax.device_put(np.asarray(x)) for x in b)
+
                 losses = []
-                for batch in train_batches(train_data, batch_size, rng):
-                    batch = tuple(jax.numpy.asarray(x) for x in batch)
+                for batch in _stream_batches(
+                    train_batches(train_data, batch_size, rng), _put
+                ):
                     if augment_fn is not None and len(batch) == 2:
                         aug_key, k = jax.random.split(aug_key)
                         batch = augment_fn(batch[0], batch[1], k)
-                    if mesh is not None:
-                        batch = shard_batch(batch, mesh)
                     state, loss = train_step(state, batch)
                     losses.append(loss)
                 train_loss = float(np.mean([float(l) for l in losses]))
@@ -777,17 +926,23 @@ def fit_reconstruction(
                 history[k] = list(meta["history"][k])
 
     cache_mb = float(os.environ.get("ISTPU_TRAIN_DEVICE_CACHE_MB", "4096"))
-    use_device_epoch = train_data.images.nbytes <= cache_mb * 2**20
+    use_device_epoch, quantize = _resident_plan(
+        "auto", train_data.images.nbytes, int(cache_mb * 2**20)
+    )
     if use_device_epoch:
         from image_segmentation_tpu.train.steps import make_train_epoch
 
-        # (x, x): reconstruct the input — one shared device buffer
+        # (x, x): reconstruct the input — one shared device buffer;
+        # uint8 residency dequantises BOTH (input and target stay equal)
+        imgs = _quantize_u8(train_data.images) if quantize \
+            else train_data.images
         dev_train = _get_device_train_cache(
-            train_data, "recon",
-            (train_data.images, train_data.images), mesh,
+            train_data, "recon", (imgs, imgs), mesh,
         )
-        train_epoch = make_train_epoch(mse, accum_steps=accum_steps,
-                                       mesh=mesh)
+        train_epoch = make_train_epoch(
+            mse, accum_steps=accum_steps, mesh=mesh,
+            resident_decode="recon" if quantize else None,
+        )
     else:
         train_step = make_train_step(mse, accum_steps=accum_steps)
     forward = _default_eval_forward()  # shared: avoid per-fit recompiles
@@ -808,12 +963,18 @@ def fit_reconstruction(
             )
             train_loss = float(np.mean(np.asarray(losses)))
         else:
-            losses = []
-            for images, _ in train_batches(train_data, batch_size, rng):
-                x = jax.numpy.asarray(images)
-                batch = (x, x)  # reconstruct the input
+            def _put(b):
+                x = b[0]
+                batch = (x, x)  # reconstruct the input — shared buffer
                 if mesh is not None:
-                    batch = shard_batch(batch, mesh)
+                    return shard_batch(batch, mesh)
+                xd = jax.device_put(np.asarray(x))
+                return (xd, xd)
+
+            losses = []
+            for batch in _stream_batches(
+                train_batches(train_data, batch_size, rng), _put
+            ):
                 state, loss = train_step(state, batch)
                 losses.append(loss)
             train_loss = float(np.mean([float(l) for l in losses]))

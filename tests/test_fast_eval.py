@@ -21,6 +21,7 @@ from image_segmentation_tpu.train.fast_eval import (
     get_eval_batch_fn,
     make_masked_loss,
     pack_label_canvases,
+    plan_size_buckets,
 )
 from image_segmentation_tpu.train.loop import evaluate
 from image_segmentation_tpu.train.state import make_adamw
@@ -49,6 +50,84 @@ def test_pack_label_canvases_layout():
     assert (c[0, 5:, :] == FILL).all() and (c[0, :, 9:] == FILL).all()
     assert (c[1, :12, :4] == 0).all()
     assert (c[1, 12:, :] == FILL).all()
+
+
+class TestSizeBuckets:
+    def test_bimodal_sizes_split_into_two_buckets(self):
+        labs = [np.zeros((32, 32), np.int32)] * 12 + [
+            np.zeros((300, 280), np.int32)
+        ] * 12
+        plan = plan_size_buckets(labs, min_bucket=8)
+        assert len(plan) == 2
+        # small images together, large together, all covered exactly once
+        all_idx = np.sort(np.concatenate(plan))
+        np.testing.assert_array_equal(all_idx, np.arange(24))
+        small = plan[0] if len(plan[0]) and plan[0][0] < 12 else plan[1]
+        assert set(small.tolist()) == set(range(12))
+
+    def test_uniform_sizes_stay_one_bucket(self):
+        labs = [np.zeros((64, 64), np.int32)] * 30
+        assert len(plan_size_buckets(labs, min_bucket=8)) == 1
+
+    def test_min_bucket_respected(self):
+        # one outlier can't form its own bucket
+        labs = [np.zeros((32, 32), np.int32)] * 20 + [
+            np.zeros((400, 400), np.int32)
+        ]
+        plan = plan_size_buckets(labs, min_bucket=8)
+        for idx in plan:
+            assert len(idx) >= 8
+
+    def test_tiny_sets_single_bucket(self):
+        labs = [np.zeros((32, 32), np.int32),
+                np.zeros((300, 300), np.int32)]
+        assert len(plan_size_buckets(labs, min_bucket=8)) == 1
+
+
+def test_bucketed_eval_bit_identical_to_host_protocol(tiny_state):
+    """A bimodal-size val set (≥16 images → bucketing active) must
+    produce metrics IDENTICAL to the float64 host oracle — bucketing
+    only changes wasted canvas pixels, never the per-image math."""
+    rng = np.random.default_rng(5)
+    items = []
+    for i in range(20):
+        big = i >= 10
+        h = int(rng.integers(90, 120)) if big else int(rng.integers(24, 40))
+        w = int(rng.integers(90, 120)) if big else int(rng.integers(24, 40))
+        img = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+        lab = np.zeros((h, w), np.int32)
+        lab[h // 3:, : w // 2] = 1 + (i % 2)
+        lab[: h // 4, w // 2:] = 3
+        items.append((img, lab))
+    val = materialize(ArrayDataset(items), 32, keep_orig_labels=True)
+    state = tiny_state
+
+    cfg = DiceCELoss(ignore_index=3, class_weights=(0.2, 1.0, 1.2, 1.5))
+    dev = evaluate(state, val, loss_cfg=cfg, protocol="device",
+                   verbose=False, batch_size=4)
+    assert val.bucket_views, "bucketing should trigger on bimodal sizes"
+
+    # vs the UNBUCKETED device protocol: confusion-based metrics are
+    # BIT-IDENTICAL (integer counts; the per-pixel inverse + argmax don't
+    # depend on canvas size). The masked loss reduces over a different
+    # canvas shape, so XLA reassociates its f32 sums differently —
+    # observed ~2e-6; anything beyond float reassociation would mean the
+    # protocol math changed.
+    val_single = materialize(ArrayDataset(items), 32, keep_orig_labels=True)
+    val_single.bucket_views = []  # force the single dataset-max canvas
+    single = evaluate(state, val_single, loss_cfg=cfg, protocol="device",
+                      verbose=False, batch_size=4)
+    for k in ("dice", "iou", "acc"):
+        assert float(dev[k]) == float(single[k]), (k, dev, single)
+    assert abs(dev["loss"] - single["loss"]) < 1e-5
+
+    # vs the float64 host oracle: the usual f32-vs-f64 near-tie envelope
+    host = evaluate(state, val,
+                    host_loss_fn=lambda s, l: dice_ce_loss_np(s, l, cfg),
+                    protocol="host", verbose=False, batch_size=4)
+    for k in ("dice", "iou", "acc"):
+        assert abs(float(dev[k]) - float(host[k])) < 5e-4, (k, dev, host)
+    assert abs(dev["loss"] - host["loss"]) < 1e-4
 
 
 def test_confusion_counts_int32_and_drop_semantics():

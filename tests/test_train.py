@@ -376,6 +376,65 @@ class TestFitLoop:
             results[1].history["train_loss"]
         )
 
+    def test_resident_plan_policy(self):
+        """'auto' keeps bit-exact float32 residency when it fits, drops
+        to uint8 (4× capacity) when only that fits, streams otherwise."""
+        from image_segmentation_tpu.train.loop import _resident_plan
+
+        assert _resident_plan("auto", 100, 100) == (True, False)
+        assert _resident_plan("auto", 400, 100) == (True, True)
+        assert _resident_plan("auto", 4000, 100) == (False, True)
+        assert _resident_plan("float32", 400, 100) == (False, False)
+        assert _resident_plan("uint8", 400, 100) == (True, True)
+        with pytest.raises(ValueError):
+            _resident_plan("bf16", 1, 1)
+
+    def test_quantize_helpers(self):
+        from image_segmentation_tpu.train.loop import _labels_u8, _quantize_u8
+
+        rng = np.random.default_rng(0)
+        a = rng.uniform(0, 1, (5, 7, 3)).astype(np.float32)
+        q = _quantize_u8(a)
+        assert q.dtype == np.uint8
+        np.testing.assert_allclose(q.astype(np.float32) / 255.0, a,
+                                   atol=1.0 / 510 + 1e-7)
+        lab = np.array([[0, 3], [255, 1]], np.int32)
+        assert _labels_u8(lab).dtype == np.uint8
+        with pytest.raises(ValueError):
+            _labels_u8(np.array([300], np.int32))
+
+    def test_uint8_residency_trains_like_float32(self, tmp_path):
+        """fit(resident_dtype='uint8') — the over-budget real-data mode —
+        must track the float32-resident run closely: inputs differ only
+        by ≤1/510 quantisation (the same 8-bit granularity the
+        reference's on-disk images had), so losses and metrics stay
+        within a small envelope and the model still converges."""
+        loss_fn = DiceCELoss(ignore_index=None)
+        results = {}
+        for dtype in ("float32", "uint8"):
+            train_ds = materialize(synthetic_dataset(n=8), 32)
+            val_ds = materialize(
+                synthetic_dataset(n=4, seed=1), 32, keep_orig_labels=True
+            )
+            _, state = small_state()
+            res = fit(
+                state, train_ds, val_ds, loss_fn=loss_fn, epochs=3,
+                batch_size=4, save_dir=str(tmp_path / dtype), name="rd",
+                eval_loss_cfg=loss_fn, seed=7, verbose=False,
+                resident_dtype=dtype,
+            )
+            results[dtype] = res
+            if dtype == "uint8":
+                # the resident arrays really are uint8 (4× capacity)
+                dev = train_ds.device_train_cache[1]
+                assert dev[0].dtype == jnp.uint8
+                assert dev[-1].dtype == jnp.uint8
+        f32, u8 = results["float32"], results["uint8"]
+        tl_f, tl_u = (np.asarray(r.history["train_loss"]) for r in (f32, u8))
+        np.testing.assert_allclose(tl_u, tl_f, rtol=5e-2)
+        assert tl_u[-1] < tl_u[0]
+        assert abs(u8.best["miou"] - f32.best["miou"]) < 5e-2
+
     def test_fit_streaming_fallback_matches_contract(self, tmp_path,
                                                      monkeypatch):
         """ISTPU_TRAIN_DEVICE_CACHE_MB=0 forces the per-batch streaming
