@@ -89,6 +89,14 @@ def main(argv=None):
                         "Use 1 to force single-device, e.g. on fake-CPU "
                         "meshes where XLA's in-process all-reduce hits "
                         "its 40 s rendezvous deadline on large models")
+    p.add_argument("--augment", default=None, choices=["on", "off"],
+                   help="override the config's augmentation flag (the "
+                        "reference ran each model with and without "
+                        "augmentation — README rows 'Augmented'/'No Aug')")
+    p.add_argument("--offline-aug", action="store_true",
+                   help="with augmentation on: materialise the augmented "
+                        "dataset offline (reference utils/augmentation."
+                        "ipynb C29) instead of online device augmentation")
     p.add_argument("--lr-schedule", default=None,
                    choices=["constant", "cosine"],
                    help="LR schedule (default: the config's, usually "
@@ -197,6 +205,10 @@ def main(argv=None):
         overrides["lr_schedule"] = args.lr_schedule
     if args.warmup_steps is not None:
         overrides["warmup_steps"] = args.warmup_steps
+    if args.augment is not None:
+        overrides["augment"] = args.augment == "on"
+    if args.offline_aug:
+        overrides["augment_online"] = False
     cfg = C.override(cfg, **overrides)
 
     if args.nan_checks:
