@@ -14,10 +14,20 @@ reproducible artifact (the real-data magnitudes await Oxford-Pet; the
               MinWeight (boundary pinned to the minimum weight) vs
               unweighted (report §4: FullWeight > MinWeight for UNet —
               the boundary class is worth training on)
-  skips       ClipUNet vs ClipUNetNoSkips, frozen smoke encoder
-              (report §4: skips > no-skips)
+  skips       ClipUNet vs ClipUNetNoSkips, both frozen on the SAME
+              pretrained smoke encoder (report §4: skips > no-skips).
+              Stage 0 pretrains the encoder with supervision entering
+              only through its final layer (co-trained ClipUNetNoSkips —
+              the same shape of signal contrastive CLIP gives its
+              blocks), so the frozen comparison runs at non-trivial
+              quality instead of the r2 noise regime
   resolution  256px vs 512px UNet (report §4: 512 ≈ 256 quality at ~4×
               step cost)
+  prompt_freeze  PromptModel with the ClipUNet branch frozen (reference
+              prompt_based/prompt.py:30-31 default) vs fine-tuned
+              (webapp segmentation_webapp/prompt_model.py:101-102;
+              report PDF §4 Fig 8h: fine-tuning won), both starting
+              from the same trained ClipUNet
 
 Task design: the stock synthetic set (run.py) converges to dice ≈0.99
 under ANY of these configs, so it cannot separate them. This harness
@@ -114,18 +124,49 @@ def _weights(train, scheme):
     return tuple(float(x) for x in w)
 
 
-def _run(model, train, val, loss_cfg, epochs, batch, label):
+def _run(model, train, val, loss_cfg, epochs, batch, label, *,
+         frozen=(), patch=None):
+    """Train one variant; returns (result row, final TrainState).
+
+    `patch` injects pretrained subtrees ({'params': {name: tree}, and
+    optionally 'batch_stats': {...}}) before training — the ablation
+    analogue of loading a converted/pretrained checkpoint. `frozen` are
+    subtree prefixes masked out of the optimizer (zero updates AND zero
+    AdamW weight decay — same mechanics as run.py's frozen-encoder
+    wiring; reference clip/clipunet.py:28-30)."""
     import jax
     import jax.numpy as jnp
 
     from image_segmentation_tpu.train import create_train_state
     from image_segmentation_tpu.train.loop import fit
-    from image_segmentation_tpu.train.state import make_adamw
+    from image_segmentation_tpu.train.state import (
+        TrainState,
+        make_adamw,
+        subtree_mask,
+    )
 
+    extra = ()
+    if getattr(train, "has_heatmaps", False):
+        extra = (jnp.asarray(train.heatmaps[:1]),)
     state = create_train_state(
         model, jax.random.PRNGKey(0), jnp.asarray(train.images[:1]),
-        make_adamw(learning_rate=1e-3),
+        make_adamw(learning_rate=1e-3), extra_inputs=extra,
     )
+    if patch or frozen:
+        # snapshot the patch to host numpy: the donated whole-epoch
+        # trainer consumes its input buffers, so device arrays from a
+        # previous run would arrive here already deleted on reuse
+        patch = jax.tree_util.tree_map(np.asarray, patch) if patch else None
+        params = dict(state.params)
+        params.update(patch.get("params", {}) if patch else {})
+        batch_stats = dict(state.batch_stats)
+        batch_stats.update(patch.get("batch_stats", {}) if patch else {})
+        mask = subtree_mask(params, tuple(frozen)) if frozen else None
+        tx = make_adamw(learning_rate=1e-3, trainable_mask=mask)
+        state = TrainState(
+            step=0, params=params, batch_stats=batch_stats,
+            opt_state=tx.init(params), apply_fn=model.apply, tx=tx,
+        )
     with tempfile.TemporaryDirectory() as d:
         res = fit(state, train, val, loss_fn=loss_cfg, epochs=epochs,
                   batch_size=batch, save_dir=d, name="abl",
@@ -140,12 +181,13 @@ def _run(model, train, val, loss_cfg, epochs, batch, label):
         "steady_epoch_s": round(steady, 3),
     }
     print(json.dumps(out), flush=True)
-    return out
+    return out, res.state
 
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--experiments", default="loss,weights,skips,resolution")
+    p.add_argument("--experiments",
+                   default="loss,weights,skips,resolution,prompt_freeze")
     p.add_argument("--images", type=int, default=128)
     p.add_argument("--epochs", type=int, default=12)
     p.add_argument("--batch", type=int, default=32)
@@ -180,7 +222,7 @@ def main() -> None:
                 UNet(num_classes=NUM_CLASSES, base=base, dtype=dtype),
                 train, val,
                 DiceCELoss(dice_weight=dw, class_weights=full_w),
-                epochs, batch, ("loss", variant)))
+                epochs, batch, ("loss", variant))[0])
 
     if "weights" in picked:
         for scheme in ("none", "min", "full"):
@@ -188,24 +230,42 @@ def main() -> None:
                 UNet(num_classes=NUM_CLASSES, base=base, dtype=dtype),
                 train, val,
                 DiceCELoss(class_weights=_weights(train, scheme)),
-                epochs, batch, ("weights", scheme)))
+                epochs, batch, ("weights", scheme))[0])
 
-    if "skips" in picked:
+    clip_trained = None  # (state of the trained skips ClipUNet, vit, chans)
+    if "skips" in picked or "prompt_freeze" in picked:
         from image_segmentation_tpu.models.clip_unet import (
             ClipUNet,
             ClipUNetNoSkips,
         )
         from image_segmentation_tpu.models.clip_vit import ClipViTConfig
 
-        # smoke ViT (random frozen encoder), exactly run.py --smoke-vit's
-        # construction: the ablation compares the DECODERS' use of
-        # encoder information, which needs no pretrained weights
+        # Smoke ViT at run.py --smoke-vit's geometry — but NOT random:
+        # a random frozen encoder puts both variants in a noise regime
+        # (r2 measured 0.067 vs 0.043 mIoU — a 2-point gap between two
+        # failing models proves nothing). Stage 0 PRETRAINS the encoder
+        # the way CLIP itself was trained: supervision enters ONLY
+        # through the final layer (co-training a ClipUNetNoSkips —
+        # contrastive CLIP likewise never supervises intermediate
+        # blocks). Both ablation arms then freeze that SAME encoder, so
+        # the comparison isolates the decoders' use of its information
+        # — and the pretraining cannot favour the skips arm.
         size = 224 if on_accel else 64
         vit = ClipViTConfig(image_size=size, patch_size=16, hidden_size=64,
                             num_layers=4, num_heads=4, mlp_dim=128)
         chans = tuple(max(8, 64 >> i) for i in range(5))
         t224 = _dataset(n, size, seed=0)
         v224 = _dataset(max(16, n // 4), size, seed=1, keep_orig=True)
+        loss = DiceCELoss(class_weights=full_w)
+        pre_epochs = 2 * epochs if on_accel else epochs
+        _, pre_state = _run(
+            ClipUNetNoSkips(num_classes=NUM_CLASSES, vit=vit,
+                            decoder_channels=chans, dtype=dtype,
+                            freeze_encoder=False),
+            t224, v224, loss, pre_epochs, batch,
+            ("skips", "encoder_pretrain(cotrained-noskips)"))
+        enc = {"params": {"encoder": pre_state.params["encoder"]}}
+
         for variant, model in (
             ("skips", ClipUNet(num_classes=NUM_CLASSES, vit=vit,
                                skip_indices=(1, 2, 3, 4),
@@ -214,9 +274,58 @@ def main() -> None:
                                         decoder_channels=chans,
                                         dtype=dtype)),
         ):
-            results.append(_run(
-                model, t224, v224, DiceCELoss(class_weights=full_w),
-                epochs, batch, ("skips", variant)))
+            row, st = _run(
+                model, t224, v224, loss,
+                epochs, batch, ("skips", variant),
+                frozen=("encoder",), patch=enc)
+            if "skips" in picked:
+                results.append(row)
+            if variant == "skips":
+                clip_trained = (st, vit, chans, t224, v224)
+
+    if "prompt_freeze" in picked:
+        # Report PDF §4 Fig 8h: prompt model with the ClipUNet branch
+        # FROZEN (reference prompt_based/prompt.py:30-31 default) vs
+        # FINE-TUNED (webapp variant, segmentation_webapp/
+        # prompt_model.py:101-102 — the report's winner). Both arms
+        # start from the SAME trained ClipUNet (injected like run.py
+        # --clipunet-checkpoint); the inner ViT stays frozen in both
+        # (the reference never unfreezes it, clip/clipunet.py:28-30).
+        from image_segmentation_tpu.data.dataset import ArrayDataset
+        from image_segmentation_tpu.data.loader import materialize
+        from image_segmentation_tpu.data.prompts import (
+            generate_prompt_dataset,
+        )
+        from image_segmentation_tpu.losses import DiceNLLLoss
+        from image_segmentation_tpu.models.prompt import PromptModel
+
+        st, vit, chans, _, _ = clip_trained
+        size = vit.image_size
+        pt = materialize(
+            generate_prompt_dataset(
+                ArrayDataset(hard_synthetic_items(n, seed=0)), seed=0),
+            size)
+        pv = materialize(
+            generate_prompt_dataset(
+                ArrayDataset(hard_synthetic_items(max(16, n // 4), seed=1)),
+                seed=1),
+            size, keep_orig_labels=True)
+        clip_patch = {
+            "params": {"clip": st.params},
+            "batch_stats": ({"clip": st.batch_stats}
+                            if st.batch_stats else {}),
+        }
+        for variant, freeze in (("frozen", True), ("finetuned", False)):
+            row, _ = _run(
+                PromptModel(num_classes=NUM_CLASSES, freeze_clip=freeze,
+                            vit=vit, skip_indices=(1, 2, 3, 4),
+                            decoder_channels=chans,
+                            unet_base=base if on_accel else 8, dtype=dtype),
+                pt, pv, DiceNLLLoss(),
+                epochs, batch, ("prompt_freeze", variant),
+                frozen=("clip",) if freeze else ("clip/encoder",),
+                patch=clip_patch)
+            results.append(row)
 
     if "resolution" in picked and on_accel:
         t512 = _dataset(n, 512, seed=0)
@@ -224,14 +333,14 @@ def main() -> None:
         results.append(_run(
             UNet(num_classes=NUM_CLASSES, base=base, dtype=dtype),
             t512, v512, DiceCELoss(class_weights=full_w),
-            epochs, max(4, batch // 4), ("resolution", "512px")))
+            epochs, max(4, batch // 4), ("resolution", "512px"))[0])
         # the 256px weights/full run doubles as the 256px arm; rerun it
         # here when the weights experiment was not picked
         if "weights" not in picked:
             results.append(_run(
                 UNet(num_classes=NUM_CLASSES, base=base, dtype=dtype),
                 train, val, DiceCELoss(class_weights=full_w),
-                epochs, batch, ("resolution", "256px")))
+                epochs, batch, ("resolution", "256px"))[0])
 
     by_exp = {}
     for r in results:

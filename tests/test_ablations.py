@@ -56,3 +56,29 @@ def test_loss_experiment_runs_end_to_end():
         assert x["steady_epoch_s"] > 0
     assert summaries and summaries[0]["summary"] == "loss"
     assert summaries[0]["winner"] in ("ce", "dice_ce")
+
+
+@pytest.mark.slow
+def test_skips_and_prompt_freeze_experiments_run_end_to_end():
+    """The CLIP-family arms: encoder pretrain (co-trained no-skips) →
+    frozen skips/noskips comparison → prompt frozen-vs-finetuned, all
+    chained inside the harness (VERDICT r2 item 3)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "benchmarks/ablations.py",
+         "--experiments", "skips,prompt_freeze"],
+        cwd=_ROOT, env=env, capture_output=True, text=True, timeout=2400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+    runs = [x for x in rows if "experiment" in x]
+    variants = {(x["experiment"], x["variant"]) for x in runs}
+    assert ("skips", "encoder_pretrain(cotrained-noskips)") in variants
+    assert ("skips", "skips") in variants
+    assert ("skips", "noskips") in variants
+    assert ("prompt_freeze", "frozen") in variants
+    assert ("prompt_freeze", "finetuned") in variants
+    summaries = {x["summary"]: x for x in rows if "summary" in x}
+    assert set(summaries) == {"skips", "prompt_freeze"}
+    for x in runs:
+        assert 0.0 <= x["best_miou"] <= 1.0
