@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -33,6 +34,50 @@ import numpy as np
 # Reference schedule measured on this chip (BASELINE_MEASURED.md;
 # reproduce: python benchmarks/reference_anchor.py --mode jax-samechip).
 MEASURED_ANCHOR_IMG_PER_SEC = 36.29
+
+# Round-1 analytic estimate for the reference's OWN hardware (A100 40GB:
+# eager micro-batch-2 convs at 10-12% of TF32 peak — BASELINE_MEASURED.md
+# "cross-hardware context"). Kept in the emission so the JSON carries
+# both the like-for-like same-chip anchor and the cross-hardware one.
+A100_ESTIMATE_IMG_PER_SEC = 60.0
+
+# TPU v5e (v5 lite) peak dense bf16 matmul throughput per chip —
+# 197 TFLOP/s (public spec: 394 TOPS int8, half that in bf16). Used for
+# the MFU line: analytic step FLOPs (XLA cost analysis) / time / peak.
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def _flops_per_call(compiled) -> float | None:
+    """Analytic FLOPs of one compiled dispatch from XLA's cost analysis
+    (None when the backend doesn't report it, e.g. some plugins)."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = float(cost.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _throughput_stats(window_times, items_per_window):
+    """Best-window AND median/spread (tunnel jitter makes single windows
+    unreliable; the best window is the executable's real throughput, the
+    spread says how noisy this measurement session was)."""
+    per = sorted(items_per_window / t for t in window_times)
+    return {
+        "value": round(per[-1], 2),
+        "median_img_per_sec": round(per[len(per) // 2], 2),
+        "window_img_per_sec": [round(v, 2) for v in per],
+    }
+
+
+def _anchors(value: float) -> dict:
+    return {
+        "vs_baseline": round(value / MEASURED_ANCHOR_IMG_PER_SEC, 3),
+        "vs_measured_anchor": round(value / MEASURED_ANCHOR_IMG_PER_SEC, 3),
+        "vs_a100_estimate": round(value / A100_ESTIMATE_IMG_PER_SEC, 3),
+    }
 
 # Reference webapp serving path measured on this host: CPU-pinned
 # (reference segmentation_webapp/app.py:26), batch-1 no_grad forward at
@@ -170,6 +215,87 @@ def bench_serve(requests: int, concurrency: int) -> None:
     )
 
 
+def bench_serve_multimodel(requests: int, concurrency: int) -> None:
+    """All four model families registered concurrently, mixed load.
+
+    The reference webapp registers unet/autoencoder/clip/prompt_model at
+    startup (reference segmentation_webapp/app.py:91-94) and serves
+    whichever the request names. This mode builds the production-size
+    registry (the same model/target-size specs serve/app.py
+    load_family_models uses; weights are random init — identical compute
+    to trained weights) behind one BatchingEngine and drives a
+    round-robin request mix across all four from `concurrency` client
+    threads, measuring aggregate throughput when per-model queues share
+    the single chip."""
+    import concurrent.futures
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.models import SegmentationAutoencoder, UNet
+    from image_segmentation_tpu.models.clip_unet import ClipUNet
+    from image_segmentation_tpu.models.prompt import PromptModel
+    from image_segmentation_tpu.serve.app import demo_model_specs
+    from image_segmentation_tpu.serve.batching import BatchingEngine
+    from image_segmentation_tpu.serve.engine import InferenceEngine
+
+    on_accel = jax.devices()[0].platform != "cpu"
+    engine = InferenceEngine()
+    if on_accel:
+        key = jax.random.PRNGKey(0)
+        specs = {
+            "unet": (UNet(num_classes=4), 256, False),
+            "autoencoder": (SegmentationAutoencoder(num_classes=4), 256,
+                            False),
+            "clip": (ClipUNet(num_classes=4), 224, False),
+            "prompt_model": (PromptModel(), 224, True),
+        }
+        for name, (model, tsize, needs_prompt) in specs.items():
+            sample = [jnp.zeros((1, tsize, tsize, 3))]
+            if needs_prompt:
+                sample.append(jnp.zeros((1, tsize, tsize, 1)))
+            variables = model.init(key, *sample, train=False)
+            engine.register(name, model, variables, target_size=tsize,
+                            needs_prompt=needs_prompt)
+    else:
+        for name, model, v, tsize, needs_prompt in demo_model_specs():
+            engine.register(name, model, v, target_size=tsize,
+                            needs_prompt=needs_prompt)
+    batched = BatchingEngine(engine, max_batch=8, max_wait_ms=3.0)
+    batched.warmup()
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (300, 400, 3)).astype(np.float32)
+    prompt = np.zeros((300, 400), np.float32)
+    prompt[140:160, 190:210] = 1.0
+    names = list(engine.available())
+
+    def one(i):
+        name = names[i % len(names)]
+        mask = prompt if name == "prompt_model" else None
+        return batched.segment(img, name, prompt_mask=mask)
+
+    n = (requests if on_accel else 2) * 4  # per-family count × 4 families
+    list(concurrent.futures.ThreadPoolExecutor(concurrency).map(
+        one, range(len(names))))  # warm every family end-to-end
+    with concurrent.futures.ThreadPoolExecutor(concurrency) as ex:
+        t0 = time.perf_counter()
+        list(ex.map(one, range(n)))
+        dt = time.perf_counter() - t0
+    conc_rps = n / dt
+    batched.close()
+
+    print(json.dumps({
+        "metric": "serve_multimodel_requests_per_sec_concurrency%d"
+                  % concurrency,
+        "value": round(conc_rps, 2),
+        "unit": "requests/sec",
+        "families": names,
+        "requests": n,
+        "vs_baseline": round(conc_rps / REFERENCE_SERVE_REQ_PER_SEC, 3),
+    }))
+
+
 def bench_fit(images: int, epochs: int) -> None:
     """End-to-end training-loop throughput: fit() steady-state epoch time
     (train + original-resolution eval) with the device-resident
@@ -215,8 +341,9 @@ def bench_fit(images: int, epochs: int) -> None:
         "metric": "fit_epoch_images_per_sec_incl_eval_256px",
         "value": round(value, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(value / MEASURED_ANCHOR_IMG_PER_SEC, 3),
+        **_anchors(value),
         "epoch_times_s": [round(e, 2) for e in et],
+        "fit_images": n,
     }))
 
 
@@ -242,16 +369,31 @@ def main() -> None:
     p.add_argument("--fit-epochs", type=int, default=4)
     p.add_argument("--serve", action="store_true",
                    help="serving latency/throughput mode")
+    p.add_argument("--serve-multimodel", action="store_true",
+                   help="serving mode with all 4 families registered "
+                        "concurrently (reference app.py:91-94), mixed "
+                        "round-robin load")
     p.add_argument("--requests", type=int, default=40,
                    help="serve mode: single-stream request count")
     p.add_argument("--concurrency", type=int, default=16,
                    help="serve mode: concurrent client threads")
     args = p.parse_args()
 
-    wait_for_backend()
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # honor an explicit CPU request: the axon PJRT plugin overrides
+        # plain env-var platform selection (same workaround as tests/
+        # conftest.py), so force it through jax.config before first use
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        wait_for_backend()
 
     if args.serve:
         bench_serve(args.requests, args.concurrency)
+        return
+    if args.serve_multimodel:
+        bench_serve_multimodel(args.requests, args.concurrency)
         return
     if args.fit:
         bench_fit(args.fit_images, args.fit_epochs)
@@ -320,13 +462,14 @@ def main() -> None:
             call, _ = load_exported(path)
         out = call(images)
         np.asarray(out[0, 0, 0])  # compile + hard sync
-        dt = np.inf
+        windows = []
         for _ in range(args.repeat):
             t0 = time.perf_counter()
             for _ in range(steps):
                 out = call(images)
             np.asarray(out[0, 0, 0])
-            dt = min(dt, time.perf_counter() - t0)
+            windows.append(time.perf_counter() - t0)
+        flops = None  # AOT artifact: no cost analysis handle
         metric = f"{name}_infer_exported_images_per_sec_per_chip_{size_used}px"
     elif args.infer:
         fwd = jax.jit(
@@ -335,7 +478,8 @@ def main() -> None:
             )
         )
         np.asarray(fwd(state, images))  # compile + sync
-        dt = np.inf
+        flops = _flops_per_call(fwd.lower(state, images).compile())
+        windows = []
         for _ in range(args.repeat):
             t0 = time.perf_counter()
             for _ in range(steps):
@@ -343,36 +487,46 @@ def main() -> None:
             # block_until_ready is unreliable over the axon tunnel; a
             # value fetch is a hard sync.
             np.asarray(out[0, 0, 0])
-            dt = min(dt, time.perf_counter() - t0)
+            windows.append(time.perf_counter() - t0)
         metric = f"{name}_infer_images_per_sec_per_chip_{size_used}px"
     else:
         step = make_train_step(DiceCELoss(ignore_index=3))
+        # cost analysis BEFORE the first donated call (donated buffers
+        # make a later .lower() re-trace awkward); the explicit
+        # lower/compile shares the jit cache so there is one compile
+        flops = _flops_per_call(step.lower(state, (images, labels)).compile())
         state, loss = step(state, (images, labels))  # compile
         float(loss)  # hard sync (block_until_ready no-ops over the tunnel)
         # Best of `--repeat` timing windows: one window is vulnerable to
         # transient host contention and tunnel jitter (observed: the same
         # executable measuring 285 vs 418 img/s under a concurrent test
-        # run); the best window is the executable's actual throughput.
-        dt = np.inf
+        # run); the best window is the executable's actual throughput —
+        # the median and full spread are emitted alongside it.
+        windows = []
         for _ in range(args.repeat):
             t0 = time.perf_counter()
             for _ in range(steps):
                 state, loss = step(state, (images, labels))
             float(loss)
-            dt = min(dt, time.perf_counter() - t0)
+            windows.append(time.perf_counter() - t0)
         metric = f"{name}_train_images_per_sec_per_chip_{size_used}px"
 
-    value = batch * steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(value / MEASURED_ANCHOR_IMG_PER_SEC, 3),
-            }
+    stats = _throughput_stats(windows, batch * steps)
+    value = stats["value"]
+    payload = {
+        "metric": metric,
+        "unit": "images/sec/chip",
+        **stats,
+        **_anchors(value),
+    }
+    if flops is not None and on_accel:
+        # MFU from the best window: analytic dispatch FLOPs (XLA cost
+        # analysis) × dispatches ÷ time ÷ chip bf16 peak
+        payload["mfu"] = round(
+            flops * steps / min(windows) / V5E_BF16_PEAK_FLOPS, 4
         )
-    )
+        payload["analytic_gflops_per_image"] = round(flops / batch / 1e9, 2)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
