@@ -2,6 +2,7 @@
 handler (reference segmentation_webapp/app.py behavioral contracts)."""
 import base64
 import io
+import os
 
 import jax
 import jax.numpy as jnp
@@ -147,6 +148,61 @@ class TestHandler:
             },
         )
         assert "output_label" in out
+
+    def test_segment_with_bbox_prompt(self, engine):
+        """bbox payload exactly as the frontend builds it
+        (static/script.js promptPayload): {x, y, width, height} in
+        original-image pixels."""
+        out = handle_segment(
+            engine,
+            {
+                "image": _b64_image(64, 64),
+                "model": "prompt_model",
+                "prompt_type": "bbox",
+                "prompt_data": {"x": 10, "y": 12, "width": 30, "height": 24},
+            },
+        )
+        assert "output_mask" in out
+        assert out["class_names"][0] == "deactivated"
+
+    def test_segment_with_scribble_prompt(self, engine):
+        """scribble payload as the frontend ships it: a data-URL PNG of
+        the stroke canvas (white strokes on black)."""
+        from PIL import Image
+
+        strokes = np.zeros((64, 64), np.uint8)
+        strokes[20:26, 8:56] = 255  # one horizontal stroke
+        buf = io.BytesIO()
+        Image.fromarray(strokes).save(buf, format="PNG")
+        data_url = ("data:image/png;base64,"
+                    + base64.b64encode(buf.getvalue()).decode())
+        out = handle_segment(
+            engine,
+            {
+                "image": _b64_image(64, 64),
+                "model": "prompt_model",
+                "prompt_type": "scribble",
+                "prompt_data": data_url,
+            },
+        )
+        assert "output_mask" in out
+        assert out["class_names"][0] == "deactivated"
+
+    def test_frontend_exposes_all_three_prompt_modes(self):
+        """The shipped UI must exercise every prompt type the backend
+        renders (VERDICT r2 item 8) — contract on the static assets."""
+        import image_segmentation_tpu.serve as serve_pkg
+
+        base = os.path.dirname(serve_pkg.__file__)
+        with open(os.path.join(base, "static", "script.js")) as f:
+            js = f.read()
+        for needle in ('"points"', '"bbox"', '"scribble"',
+                       "toDataURL", "prompt_type"):
+            assert needle in js, needle
+        with open(os.path.join(base, "templates", "index.html")) as f:
+            html = f.read()
+        for mode in ("point", "bbox", "scribble"):
+            assert f'value="{mode}"' in html, mode
 
     def test_missing_fields(self, engine):
         assert "error" in handle_segment(engine, {})
