@@ -1,0 +1,198 @@
+"""Per-op attribution of the train step: where the backward excess lives.
+
+Round-2 verdict item: backward measured ~2.54× forward (theoretical 2×),
+attributed in prose to "BN-backward reads + loss reductions" but never
+profiled per-op. This tool produces the receipts:
+
+  1. compile the production train step (B=128, 256px, bf16 UNet,
+     Dice+CE — train/steps.py make_train_step) and keep the compiled
+     HLO text, whose instruction metadata carries the originating
+     module path (e.g. op_name="jit(train_step)/transpose(jvp(UNet))/
+     Up_0/DoubleConv_0/ConvBNRelu_0/Conv_0/conv_general_dilated");
+  2. jax.profiler-trace a few steps and sum device-op self-times from
+     the perfetto JSON (event names == HLO instruction names);
+  3. join (2) on (1) and bucket by direction × module:
+       fwd/conv  fwd/bn  fwd/pool  bwd/conv  bwd/bn  bwd/pool
+       loss (fwd+bwd — traced outside the UNet jvp scope)
+       optimizer/update (no jvp in the op path)
+
+Prints one JSON line with the bucket table (ms/step and share) plus the
+measured fwd:bwd ratio, and a human table to stderr.
+
+Run (real TPU): python benchmarks/backward_anatomy.py
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# %name = type instr(...), ..., metadata={op_name="..." ...}
+_INSTR_RE = re.compile(
+    r"%?(?P<name>[\w\.\-]+) = .*metadata=\{[^}]*op_name=\"(?P<op>[^\"]*)\""
+)
+
+
+_BARE_INSTR_RE = re.compile(r"%?(?P<name>[\w\.\-]+) = ")
+
+
+def parse_hlo_categories(hlo_text: str) -> dict:
+    """instruction name -> (direction, module) category from metadata."""
+    cats = {}
+    for line in hlo_text.splitlines():
+        m = _INSTR_RE.search(line)
+        if m:
+            cats[m.group("name")] = categorize(m.group("op"), line)
+            continue
+        # instructions with no op_name metadata (wrapped computations,
+        # layout copies): categorize by opcode
+        b = _BARE_INSTR_RE.search(line)
+        if b and " = " in line:
+            name = b.group("name")
+            if "select_and_scatter" in line:
+                cats.setdefault(name, "bwd/pool")
+            elif "reduce-window" in line:
+                cats.setdefault(name, "fwd/pool")
+            elif "transpose_copy" in name or line.strip().startswith(
+                    f"%{name} = ") and " copy(" in line:
+                cats.setdefault(name, "layout/copy")
+    return cats
+
+
+def categorize(op_name: str, line: str = "") -> str:
+    """Map an HLO op_name path to a direction×module bucket."""
+    bwd_model = "transpose(jvp" in op_name
+    fwd_model = ("jvp(" in op_name or "(UNet)" in op_name) and not bwd_model
+    is_model = "UNet)" in op_name or "ClipUNet)" in op_name \
+        or "/DoubleConv" in op_name or "/ConvBNRelu" in op_name
+    if is_model:
+        d = "bwd" if bwd_model else "fwd"
+        if "BatchNorm" in op_name:
+            return f"{d}/bn"
+        if "Conv" in op_name or "conv_general_dilated" in op_name:
+            return f"{d}/conv"
+        if ("max_pool" in op_name or "reduce_window" in op_name
+                or "select_and_scatter" in line):
+            return f"{d}/pool"
+        return f"{d}/other"
+    if bwd_model or "jvp(" in op_name:
+        # traced under value_and_grad but outside the model module path:
+        # the loss (one_hot, where, log_softmax, dice reductions)
+        return "loss"
+    return "optimizer/update"
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--trace-steps", type=int, default=3)
+    p.add_argument("--trace-dir", default="/tmp/backward_anatomy_trace")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.losses import DiceCELoss
+    from image_segmentation_tpu.models import UNet
+    from image_segmentation_tpu.train import create_train_state, make_train_step
+    from image_segmentation_tpu.train.state import make_adamw
+
+    on_accel = jax.devices()[0].platform != "cpu"
+    B = args.batch if on_accel else 4
+    S = args.size if on_accel else 64
+    model = UNet(num_classes=4, base=64 if on_accel else 8,
+                 dtype=jnp.bfloat16 if on_accel else jnp.float32)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (B, S, S, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 4, (B, S, S)), jnp.int32)
+    state = create_train_state(model, jax.random.PRNGKey(0), x[:1],
+                               make_adamw(1e-3))
+    step = make_train_step(DiceCELoss(ignore_index=3))
+
+    # compiled HLO BEFORE any donated call (shares the jit cache)
+    compiled = step.lower(state, (x, y)).compile()
+    cats = parse_hlo_categories(compiled.as_text())
+
+    st = [state]
+
+    def run_step():
+        s, l = step(st[0], (x, y))
+        st[0] = s
+        return l
+
+    float(run_step())  # warm + hard sync (tunnel-safe)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        l = run_step()
+    float(l)
+    step_ms = (time.perf_counter() - t0) / 10 * 1e3
+
+    os.makedirs(args.trace_dir, exist_ok=True)
+    with jax.profiler.trace(args.trace_dir):
+        for _ in range(args.trace_steps):
+            l = run_step()
+        float(l)
+
+    files = glob.glob(os.path.join(args.trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not files:
+        sys.exit("no trace produced")
+    with gzip.open(sorted(files)[-1], "rt") as f:
+        trace = json.load(f)
+
+    # device-lane events only: keep events whose name matches an HLO
+    # instruction (host-side python/runtime lanes never do)
+    buckets, unmatched = {}, {}
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") != "X" or "dur" not in ev:
+            continue
+        name = ev.get("name", "")
+        cat = cats.get(name) or cats.get(name.split(".")[0])
+        if cat is None:
+            # fusions keep their HLO names; anything else is host noise
+            if re.fullmatch(r"[\w\-\.]+\.\d+", name) or name in cats:
+                unmatched[name] = unmatched.get(name, 0) + ev["dur"]
+            continue
+        buckets[cat] = buckets.get(cat, 0.0) + ev["dur"]
+
+    n = args.trace_steps
+    table = {k: round(v / 1e3 / n, 3) for k, v in sorted(buckets.items())}
+    device_total = sum(table.values())
+    fwd = sum(v for k, v in table.items() if k.startswith("fwd/"))
+    bwd = sum(v for k, v in table.items() if k.startswith("bwd/"))
+    out = {
+        "metric": "train_step_per_op_anatomy_ms",
+        "buckets_ms_per_step": table,
+        "device_total_ms": round(device_total, 2),
+        "wall_step_ms": round(step_ms, 2),
+        "fwd_ms": round(fwd, 2),
+        "bwd_ms": round(bwd, 2),
+        "bwd_over_fwd": round(bwd / fwd, 3) if fwd else None,
+        "unmatched_ms": round(sum(unmatched.values()) / 1e3 / n, 3),
+        "img_per_sec": round(B / (step_ms / 1e3), 1),
+    }
+    print(json.dumps(out))
+
+    print("\n  bucket              ms/step   share", file=sys.stderr)
+    for k, v in sorted(table.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:<18} {v:>8.2f}   {v / device_total:>5.1%}",
+              file=sys.stderr)
+    if unmatched:
+        top = sorted(unmatched.items(), key=lambda kv: -kv[1])[:8]
+        print("  top unmatched device ops:", file=sys.stderr)
+        for name, d in top:
+            print(f"    {d/1e3/n:>8.2f} ms  {name}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
