@@ -19,7 +19,15 @@ profiled per-op. This tool produces the receipts:
 Prints one JSON line with the bucket table (ms/step and share) plus the
 measured fwd:bwd ratio, and a human table to stderr.
 
-Run (real TPU): python benchmarks/backward_anatomy.py
+With --per-conv it additionally attributes every convolution HLO
+instruction individually: originating layer (module path from op_name
+metadata), kind (fwd / dgrad / wgrad — discriminated by result shape:
+wgrad produces the (KH, KW, Cin, Cout) weight-shaped output), measured
+ms/step from the trace, analytic GFLOP from the HLO shapes, and achieved
+TFLOP/s — the speed-of-light receipts for where the backward excess
+lives. Second JSON line + stderr table.
+
+Run (real TPU): python benchmarks/backward_anatomy.py --per-conv
 """
 from __future__ import annotations
 
@@ -91,12 +99,110 @@ def categorize(op_name: str, line: str = "") -> str:
     return "optimizer/update"
 
 
+# %convolution.N = bf16[128,256,256,64]{...} convolution(bf16[...] %a,
+#   bf16[...] %b), window={size=3x3 ...}, dim_labels=b01f_01io->b01f, ...
+_DIM_LABELS_RE = re.compile(
+    r"dim_labels=(?P<lhs_spec>\w+)_(?P<rhs_spec>\w+)->(?P<out_spec>\w+)")
+_SHAPE_RE = re.compile(r"[a-z]\w*\[([\d,]*)\]")
+
+
+def _shape(s: str) -> list:
+    return [int(d) for d in s.split(",") if d]
+
+
+def parse_convs(hlo_text: str) -> dict:
+    """op_name path -> {layer, kind, gflops} for every conv instruction.
+
+    Scans the whole HLO text (top-level and fused computation bodies).
+    FLOPs via the universal conv identity: 2 * prod(out_shape) *
+    rhs_contracted_feature * prod(rhs_spatial) — holds for forward,
+    dgrad (rhs = reversed kernel) and wgrad (rhs = dout as kernel)
+    alike. Kind: wgrad iff the output spec leads with spatial digits
+    (weight-shaped output, e.g. ->01bf); else fwd/dgrad by jvp scope.
+    """
+    convs = {}
+    for line in hlo_text.splitlines():
+        if " convolution(" not in line:
+            continue
+        dl = _DIM_LABELS_RE.search(line)
+        b = _BARE_INSTR_RE.search(line)
+        if not dl or not b:
+            continue
+        # shape tokens in definition order: result, lhs, rhs
+        shapes = [_shape(s) for s in
+                  _SHAPE_RE.findall(line.split(", window=")[0])]
+        if len(shapes) < 3:
+            continue
+        om = re.search(r"op_name=\"([^\"]*)\"", line)
+        op_name = om.group(1) if om else b.group("name")
+        out, rhs = shapes[0], shapes[2]
+        rhs_spec = dl.group("rhs_spec")
+        if len(rhs) != len(rhs_spec):
+            continue
+        contracted = rhs[rhs_spec.index("i")]
+        spatial = 1
+        for i, c in enumerate(rhs_spec):
+            if c.isdigit():
+                spatial *= rhs[i]
+        gflops = 2.0 * np.prod(out) * contracted * spatial / 1e9
+        if not dl.group("out_spec")[0].isdigit():
+            kind = "bwd/dgrad" if "transpose(jvp" in op_name else "fwd"
+        else:
+            kind = "bwd/wgrad"
+        # short layer path: module segments between the jit/jvp prefix
+        # and the trailing primitive
+        seg = [s for s in op_name.split("/")
+               if s and "jit(" not in s and "jvp(" not in s
+               and not s.startswith("conv_general")]
+        layer = "/".join(seg) or op_name
+        convs[op_name] = {"layer": layer, "kind": kind,
+                          "gflops": round(float(gflops), 2)}
+    return convs
+
+
+def per_conv_table(hlo_text: str, trace: dict, n_steps: int) -> list:
+    """Join conv analytic FLOPs with measured device time per layer."""
+    convs = parse_convs(hlo_text)
+    # top-level instruction name -> conv op_name (direct convs and
+    # fusions whose root metadata cites the conv path)
+    name_to_op = {}
+    for line in hlo_text.splitlines():
+        b = _BARE_INSTR_RE.search(line)
+        om = re.search(r"op_name=\"([^\"]*)\"", line)
+        if b and om and om.group(1) in convs:
+            name_to_op.setdefault(b.group("name"), om.group(1))
+    times = {}
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") != "X" or "dur" not in ev:
+            continue
+        op = name_to_op.get(ev.get("name", ""))
+        if op:
+            times[op] = times.get(op, 0.0) + ev["dur"]
+    rows = {}
+    for op, info in convs.items():
+        key = (info["layer"], info["kind"])
+        r = rows.setdefault(key, {"layer": info["layer"],
+                                  "kind": info["kind"],
+                                  "gflops": 0.0, "ms": 0.0})
+        r["gflops"] += info["gflops"]
+        r["ms"] += times.get(op, 0.0) / 1e3 / n_steps
+    out = []
+    for r in rows.values():
+        tflops = (r["gflops"] / r["ms"]) if r["ms"] > 0 else None
+        out.append({**r, "gflops": round(r["gflops"], 2),
+                    "ms": round(r["ms"], 3),
+                    "tflops_per_sec": round(tflops, 1) if tflops else None})
+    return sorted(out, key=lambda r: -r["ms"])
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--trace-steps", type=int, default=3)
     p.add_argument("--trace-dir", default="/tmp/backward_anatomy_trace")
+    p.add_argument("--per-conv", action="store_true",
+                   help="emit the per-convolution speed-of-light table")
     args = p.parse_args()
 
     import jax
@@ -121,7 +227,8 @@ def main():
 
     # compiled HLO BEFORE any donated call (shares the jit cache)
     compiled = step.lower(state, (x, y)).compile()
-    cats = parse_hlo_categories(compiled.as_text())
+    hlo_text = compiled.as_text()
+    cats = parse_hlo_categories(hlo_text)
 
     st = [state]
 
@@ -192,6 +299,18 @@ def main():
         print("  top unmatched device ops:", file=sys.stderr)
         for name, d in top:
             print(f"    {d/1e3/n:>8.2f} ms  {name}", file=sys.stderr)
+
+    if args.per_conv:
+        rows = per_conv_table(hlo_text, trace, n)
+        print(json.dumps({"metric": "train_step_per_conv_speed_of_light",
+                          "batch": B, "size": S, "rows": rows}))
+        print("\n  layer                                   kind       "
+              "ms/step   GFLOP   TFLOP/s", file=sys.stderr)
+        for r in rows:
+            tf = f"{r['tflops_per_sec']:>7.1f}" if r["tflops_per_sec"] \
+                else "      -"
+            print(f"  {r['layer']:<38}  {r['kind']:<9} {r['ms']:>8.2f} "
+                  f"{r['gflops']:>8.2f} {tf}", file=sys.stderr)
 
 
 if __name__ == "__main__":

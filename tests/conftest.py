@@ -28,3 +28,18 @@ jax.config.update("jax_platforms", "cpu")
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _ROOT not in sys.path:
     sys.path.insert(0, _ROOT)
+
+# Share compiled XLA programs across test processes and suite runs: the
+# core tier is compile-dominated (many tests jit the same tiny-shape
+# train/eval programs), and under xdist each worker process would
+# otherwise recompile every one of them. The on-disk cache dedupes
+# compiles across workers within a run and makes repeat runs start
+# warm. Override the location with ISTPU_TEST_XLA_CACHE; set it to the
+# empty string to disable (e.g. when timing cold compiles).
+_cache_dir = os.environ.get(
+    "ISTPU_TEST_XLA_CACHE", "/tmp/istpu_test_xla_cache"
+)
+if _cache_dir:
+    from image_segmentation_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache(_cache_dir, min_compile_seconds=0.3)
