@@ -110,32 +110,73 @@ def _shape(s: str) -> list:
     return [int(d) for d in s.split(",") if d]
 
 
+# instruction definition: `  %name = TYPE[dims]{layout} opcode(...)` —
+# captures the defined name and its result-shape dims
+_INSTR_DEF_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%?(?P<name>[\w.\-]+)\s*=\s*"
+    r"(?:\(\s*)?[a-z]\w*\[(?P<dims>[\d,]*)\]")
+# computation header: `%fused_computation.3 (p0: bf16[1,2], ...) -> ... {`
+_COMP_HDR_RE = re.compile(r"^(?:ENTRY\s+)?%?(?P<name>[\w.\-]+)\s+\(")
+_PARAM_RE = re.compile(r"(?P<name>[\w.\-]+):\s*[a-z]\w*\[(?P<dims>[\d,]*)\]")
+
+
 def parse_convs(hlo_text: str) -> dict:
     """op_name path -> {layer, kind, gflops} for every conv instruction.
 
     Scans the whole HLO text (top-level and fused computation bodies).
+    The HLO printer emits operands as bare `%name` references (no inline
+    shapes), so a first pass builds a per-computation symbol table —
+    instruction result shapes plus computation-parameter shapes from
+    each header — and conv operand shapes resolve through it.
     FLOPs via the universal conv identity: 2 * prod(out_shape) *
     rhs_contracted_feature * prod(rhs_spatial) — holds for forward,
     dgrad (rhs = reversed kernel) and wgrad (rhs = dout as kernel)
     alike. Kind: wgrad iff the output spec leads with spatial digits
     (weight-shaped output, e.g. ->01bf); else fwd/dgrad by jvp scope.
     """
-    convs = {}
+    # pass 1: name -> result shape, scoped per computation
+    scopes = {}
+    scope = None
     for line in hlo_text.splitlines():
+        if line and not line[0].isspace() and "(" in line:
+            h = _COMP_HDR_RE.match(line)
+            if h:
+                scope = h.group("name")
+                tbl = scopes.setdefault(scope, {})
+                hdr = line.split("->")[0]
+                for pm in _PARAM_RE.finditer(hdr):
+                    tbl[pm.group("name")] = _shape(pm.group("dims"))
+                continue
+        d = _INSTR_DEF_RE.match(line)
+        if d and scope is not None:
+            scopes[scope][d.group("name")] = _shape(d.group("dims"))
+
+    convs = {}
+    scope = None
+    for line in hlo_text.splitlines():
+        if line and not line[0].isspace() and "(" in line:
+            h = _COMP_HDR_RE.match(line)
+            if h:
+                scope = h.group("name")
+                continue
         if " convolution(" not in line:
             continue
         dl = _DIM_LABELS_RE.search(line)
         b = _BARE_INSTR_RE.search(line)
-        if not dl or not b:
+        d = _INSTR_DEF_RE.match(line)
+        if not dl or not b or not d:
             continue
-        # shape tokens in definition order: result, lhs, rhs
-        shapes = [_shape(s) for s in
-                  _SHAPE_RE.findall(line.split(", window=")[0])]
-        if len(shapes) < 3:
+        out = _shape(d.group("dims"))
+        # operand names inside convolution(...)
+        args = line.split(" convolution(", 1)[1].split(")", 1)[0]
+        opnames = re.findall(r"%?([\w.\-]+)", args)
+        tbl = scopes.get(scope, {})
+        opshapes = [tbl.get(n) for n in opnames]
+        if len(opshapes) < 2 or opshapes[1] is None:
             continue
+        rhs = opshapes[1]
         om = re.search(r"op_name=\"([^\"]*)\"", line)
         op_name = om.group(1) if om else b.group("name")
-        out, rhs = shapes[0], shapes[2]
         rhs_spec = dl.group("rhs_spec")
         if len(rhs) != len(rhs_spec):
             continue
@@ -221,12 +262,17 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(0, 1, (B, S, S, 3)), jnp.float32)
     y = jnp.asarray(rng.integers(0, 4, (B, S, S)), jnp.int32)
+    def mark(m):
+        print(f"[banat] {m}", file=sys.stderr, flush=True)
+
     state = create_train_state(model, jax.random.PRNGKey(0), x[:1],
                                make_adamw(1e-3))
+    mark("state created")
     step = make_train_step(DiceCELoss(ignore_index=3))
 
     # compiled HLO BEFORE any donated call (shares the jit cache)
     compiled = step.lower(state, (x, y)).compile()
+    mark("step compiled")
     hlo_text = compiled.as_text()
     cats = parse_hlo_categories(hlo_text)
 
@@ -238,12 +284,14 @@ def main():
         return l
 
     float(run_step())  # warm + hard sync (tunnel-safe)
+    mark("warmed")
     t0 = time.perf_counter()
     for _ in range(10):
         l = run_step()
     float(l)
     step_ms = (time.perf_counter() - t0) / 10 * 1e3
 
+    mark(f"timed: {step_ms:.1f} ms/step; tracing...")
     os.makedirs(args.trace_dir, exist_ok=True)
     with jax.profiler.trace(args.trace_dir):
         for _ in range(args.trace_steps):
@@ -254,8 +302,10 @@ def main():
                       recursive=True)
     if not files:
         sys.exit("no trace produced")
+    mark(f"trace collected: {sorted(files)[-1]}")
     with gzip.open(sorted(files)[-1], "rt") as f:
         trace = json.load(f)
+    mark("trace parsed")
 
     # device-lane events only: keep events whose name matches an HLO
     # instruction (host-side python/runtime lanes never do)
