@@ -75,6 +75,19 @@ def enable_compilation_cache(
     # persist regardless of executable size (the default size floor can
     # silently skip small-but-slow-to-compile programs)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # jax initializes its on-disk cache object at most once per process;
+    # if something already compiled against a different cache_dir, the
+    # config update alone is ignored and entries keep landing in the old
+    # directory. Reset the singleton so the new directory takes effect
+    # (private API, so tolerate its absence on future jax versions).
+    try:
+        from jax._src import compilation_cache as _cc
+
+        if _cc._cache is not None and getattr(
+                _cc._cache, "_path", cache_dir) != cache_dir:
+            _cc.reset_cache()
+    except (ImportError, AttributeError):  # pragma: no cover
+        pass
 
 
 class StepTimer:

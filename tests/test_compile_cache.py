@@ -22,9 +22,16 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _restore_defaults():
-    jax.config.update("jax_compilation_cache_dir", None)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # hand the process back to the session-wide shared cache (conftest)
+    # rather than jax defaults, so later tests in this worker stay warm
+    shared = os.environ.get(
+        "ISTPU_TEST_XLA_CACHE", "/tmp/istpu_test_xla_cache")
+    if shared:
+        enable_compilation_cache(shared, min_compile_seconds=0.3)
+    else:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def test_cache_populates_on_first_compile(tmp_path):
