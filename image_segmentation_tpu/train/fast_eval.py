@@ -197,15 +197,23 @@ def _masked_dice(probs, onehot_valid, valid, ignore_index, class_weights,
     return -(dc * keep).sum() / jnp.maximum(keep.sum(), 1.0)
 
 
-def _masked_pixel_mean(pix, targets, valid, class_weights, ignore_index, C):
+def _masked_pixel_mean(pix, onehot_clip, targets, valid, class_weights,
+                       ignore_index, C):
     """Weighted mean over valid pixels — mirrors
-    losses.host._weighted_pixel_mean_np."""
+    losses.host._weighted_pixel_mean_np.
+
+    `onehot_clip` is one_hot(clip(targets, 0, C-1)) shared with the
+    per-pixel NLL select: the per-pixel weight lookup contracts it
+    against the weight vector instead of indexing w[targets] — a
+    per-pixel gather lowers to a serialized scatter/gather loop on TPU
+    (the same hazard losses/cross_entropy.py documents; measured as the
+    dominant fusion of the whole eval epoch before this rewrite)."""
     v = valid.astype(pix.dtype)
     if ignore_index is not None:
         v = v * (targets != ignore_index).astype(pix.dtype)
     if class_weights is not None:
         w = jnp.asarray(class_weights, pix.dtype)
-        pw = w[jnp.clip(targets, 0, C - 1)] * v
+        pw = (onehot_clip * w).sum(axis=-1) * v
     else:
         pw = v
     return (pix * pw).sum() / jnp.maximum(pw.sum(), 1e-12)
@@ -224,11 +232,16 @@ def make_masked_loss(cfg):
             d = _masked_dice(probs, onehot, valid, cfg.ignore_index,
                              cfg.class_weights, cfg.smooth_dice)
             logp = jax.nn.log_softmax(scores, axis=-1)
-            pix = -jnp.take_along_axis(
-                logp, jnp.clip(targets, 0, C - 1)[..., None], axis=-1
-            )[..., 0]
-            ce = _masked_pixel_mean(pix, targets, valid, cfg.class_weights,
-                                    cfg.ignore_index, C)
+            # one-hot contraction, NOT take_along_axis: the per-pixel
+            # class gather lowered to a serialized kCustom gather that
+            # was 80% of the eval epoch's device time (it is exact — the
+            # selected lane contributes its own fp value, every other
+            # lane is exactly 0.0)
+            ohc = jax.nn.one_hot(jnp.clip(targets, 0, C - 1), C,
+                                 dtype=scores.dtype)
+            pix = -jnp.sum(logp * ohc, axis=-1)
+            ce = _masked_pixel_mean(pix, ohc, targets, valid,
+                                    cfg.class_weights, cfg.ignore_index, C)
             return cfg.dice_weight * d + cfg.ce_weight * ce
         return loss
     if isinstance(cfg, DiceNLLLoss):
@@ -244,11 +257,13 @@ def make_masked_loss(cfg):
             # identically here and in training (losses/cross_entropy.py
             # nll_loss)
             logp = cfg.nll_nonlin(scores)
-            pix = -jnp.take_along_axis(
-                logp, jnp.clip(targets, 0, C - 1)[..., None], axis=-1
-            )[..., 0]
-            n = _masked_pixel_mean(pix, targets, valid, cfg.class_weights,
-                                   cfg.ignore_index, C)
+            # one-hot contraction, NOT take_along_axis (see DiceCELoss
+            # branch above)
+            ohc = jax.nn.one_hot(jnp.clip(targets, 0, C - 1), C,
+                                 dtype=scores.dtype)
+            pix = -jnp.sum(logp * ohc, axis=-1)
+            n = _masked_pixel_mean(pix, ohc, targets, valid,
+                                   cfg.class_weights, cfg.ignore_index, C)
             return cfg.dice_weight * d + cfg.nll_weight * n
         return loss
     raise TypeError(f"no masked-loss mirror for {type(cfg).__name__}")
