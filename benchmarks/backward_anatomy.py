@@ -181,10 +181,21 @@ def parse_convs(hlo_text: str) -> dict:
         if len(rhs) != len(rhs_spec):
             continue
         contracted = rhs[rhs_spec.index("i")]
-        spatial = 1
+        spatial = 1.0
         for i, c in enumerate(rhs_spec):
             if c.isdigit():
                 spatial *= rhs[i]
+        # lhs dilation (transpose-conv forward, dgrad of a strided conv):
+        # XLA inserts zeros between lhs elements, so only 1/d of kernel
+        # taps per spatial dim land on real values — the naive
+        # prod(rhs_spatial) count is inflated by prod(lhs_dilate).
+        # (For a 2x2 s2 transpose conv each output pixel gets exactly one
+        # real tap; for dgrad of a 3x3 s2 conv this recovers FLOPs equal
+        # to the forward conv, as it must.)
+        wm = re.search(r"lhs_dilate=([\dx]+)", line)
+        if wm:
+            for d in wm.group(1).split("x"):
+                spatial /= float(d)
         gflops = 2.0 * np.prod(out) * contracted * spatial / 1e9
         if not dl.group("out_spec")[0].isdigit():
             kind = "bwd/dgrad" if "transpose(jvp" in op_name else "fwd"

@@ -50,7 +50,14 @@ class DiceCELoss:
 @dataclasses.dataclass(frozen=True)
 class DiceNLLLoss:
     """For models that emit probabilities (the prompt model): Dice on the
-    probabilities directly (apply_softmax=False), NLL on log(p + 1e-9)."""
+    probabilities directly (apply_softmax=False), NLL on log(p + 1e-9).
+
+    Constraint: `nll_nonlin(probs)` must be finite across ALL class lanes,
+    not just the target lane — the fast-eval path evaluates NLL as a
+    one-hot contraction (fast_eval._nll_from_logp), where 0*NaN/0*(-inf)
+    in a non-target lane poisons the sum. With the default log_with_eps
+    this holds for any nonnegative input; if apply_softmax=True is ever
+    combined with raw logits, pass a nonlin defined on negatives too."""
 
     dice_weight: float = 1.0
     nll_weight: float = 1.0

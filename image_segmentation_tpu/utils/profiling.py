@@ -83,8 +83,11 @@ def enable_compilation_cache(
     try:
         from jax._src import compilation_cache as _cc
 
-        if _cc._cache is not None and getattr(
-                _cc._cache, "_path", cache_dir) != cache_dir:
+        # _path is a PosixGPath, cache_dir a str — compare as normalized
+        # absolute strings or the inequality is vacuously true and the
+        # cache resets on every call.
+        current = os.path.abspath(str(getattr(_cc._cache, "_path", cache_dir)))
+        if _cc._cache is not None and current != os.path.abspath(cache_dir):
             _cc.reset_cache()
     except (ImportError, AttributeError):  # pragma: no cover
         pass
