@@ -194,6 +194,9 @@ def main() -> None:
     p.add_argument("--base", type=int, default=32,
                    help="UNet base width (32 separates the configs at a "
                         "fraction of the base-64 cost)")
+    p.add_argument("--out", default=None,
+                   help="write all rows + per-experiment summaries to "
+                        "this JSON file (the committed artifact)")
     args = p.parse_args()
 
     import jax
@@ -345,14 +348,26 @@ def main() -> None:
     by_exp = {}
     for r in results:
         by_exp.setdefault(r["experiment"], []).append(r)
+    summaries = []
     for exp, rs in by_exp.items():
         best = max(rs, key=lambda r: r["best_miou"])
-        print(json.dumps({
+        summaries.append({
             "summary": exp,
             "winner": best["variant"],
             "miou": {r["variant"]: r["best_miou"] for r in rs},
             "epoch_s": {r["variant"]: r["steady_epoch_s"] for r in rs},
-        }), flush=True)
+        })
+        print(json.dumps(summaries[-1]), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({
+                "device": jax.devices()[0].device_kind,
+                "config": {"images": n, "epochs": epochs, "batch": batch,
+                           "base": base, "target": T},
+                "rows": results,
+                "summaries": summaries,
+            }, f, indent=1)
+        print(f"wrote {args.out}", flush=True)
 
 
 if __name__ == "__main__":
