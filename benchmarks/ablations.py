@@ -67,21 +67,28 @@ import numpy as np
 NUM_CLASSES = 4
 
 
-def hard_synthetic_items(n: int, seed: int = 0):
+def hard_synthetic_items(n: int, seed: int = 0, *, obj_lo: int = 10,
+                         obj_hi: int = 4, contrast=(0.15, 0.3),
+                         noise: float = 0.08, bg=(0.35, 0.12)):
     """Small low-contrast objects + boundary rings: a task where class
     imbalance and the boundary class actually matter (unlike the smoke
-    set in run.py, which any config solves)."""
+    set in run.py, which any config solves).
+
+    The keyword knobs define SHIFTED distributions of the same family
+    (object size via h//obj_lo..h//obj_hi, contrast range, pixel noise,
+    background mean/std) — used by the skips ablation to pretrain the
+    encoder on a different distribution than the transfer task."""
     rng = np.random.default_rng(seed)
     items = []
     for _ in range(n):
         h = int(rng.integers(160, 320))
         w = int(rng.integers(160, 320))
-        img = rng.normal(0.35, 0.12, (h, w, 3)).astype(np.float32)
+        img = rng.normal(bg[0], bg[1], (h, w, 3)).astype(np.float32)
         label = np.zeros((h, w), np.int32)
         for _obj in range(int(rng.integers(1, 4))):
             cls = int(rng.integers(1, 3))
-            oh = int(rng.integers(h // 10, h // 4))
-            ow = int(rng.integers(w // 10, w // 4))
+            oh = int(rng.integers(h // obj_lo, h // obj_hi))
+            ow = int(rng.integers(w // obj_lo, w // obj_hi))
             y0 = int(rng.integers(0, h - oh))
             x0 = int(rng.integers(0, w - ow))
             yy, xx = np.ogrid[:h, :w]
@@ -93,18 +100,19 @@ def hard_synthetic_items(n: int, seed: int = 0):
             ring = (ellipse <= 1.35) & ~inner
             label[inner] = cls
             label[ring & (label == 0)] = 255  # boundary sentinel
-            img[inner, cls - 1] += float(rng.uniform(0.15, 0.3))
-        img += rng.normal(0, 0.08, img.shape).astype(np.float32)
+            img[inner, cls - 1] += float(rng.uniform(*contrast))
+        img += rng.normal(0, noise, img.shape).astype(np.float32)
         items.append((np.clip(img, 0, 1), label))
     return items
 
 
-def _dataset(n, target, seed, keep_orig=False):
+def _dataset(n, target, seed, keep_orig=False, items_kw=None):
     from image_segmentation_tpu.data.dataset import ArrayDataset
     from image_segmentation_tpu.data.labels import target_remap
     from image_segmentation_tpu.data.loader import materialize
 
-    items = [(i, target_remap(l)) for i, l in hard_synthetic_items(n, seed)]
+    items = [(i, target_remap(l))
+             for i, l in hard_synthetic_items(n, seed, **(items_kw or {}))]
     return materialize(ArrayDataset(items), target,
                        keep_orig_labels=keep_orig)
 
@@ -197,6 +205,15 @@ def main() -> None:
     p.add_argument("--out", default=None,
                    help="write all rows + per-experiment summaries to "
                         "this JSON file (the committed artifact)")
+    p.add_argument("--clip-pre-epochs", type=int, default=None,
+                   help="encoder-pretrain epochs (default 10x --epochs: "
+                        "a conv-free ViT needs ~an order of magnitude "
+                        "more steps than the UNet to leave the noise "
+                        "regime on this task)")
+    p.add_argument("--clip-epochs", type=int, default=None,
+                   help="CLIP/prompt arm epochs (default 3x --epochs)")
+    p.add_argument("--vit-hidden", type=int, default=128)
+    p.add_argument("--vit-layers", type=int, default=6)
     args = p.parse_args()
 
     import jax
@@ -243,30 +260,72 @@ def main() -> None:
         )
         from image_segmentation_tpu.models.clip_vit import ClipViTConfig
 
-        # Smoke ViT at run.py --smoke-vit's geometry — but NOT random:
-        # a random frozen encoder puts both variants in a noise regime
-        # (r2 measured 0.067 vs 0.043 mIoU — a 2-point gap between two
-        # failing models proves nothing). Stage 0 PRETRAINS the encoder
-        # the way CLIP itself was trained: supervision enters ONLY
-        # through the final layer (co-training a ClipUNetNoSkips —
-        # contrastive CLIP likewise never supervises intermediate
-        # blocks). Both ablation arms then freeze that SAME encoder, so
-        # the comparison isolates the decoders' use of its information
-        # — and the pretraining cannot favour the skips arm.
+        # Smoke ViT at --smoke-vit's patch/size geometry (capacity via
+        # --vit-hidden/--vit-layers) — but NOT random: a random frozen
+        # encoder puts both variants in a noise regime (r2 measured
+        # 0.067 vs 0.043 mIoU — a 2-point gap between two failing
+        # models proves nothing). Stage 0 PRETRAINS the encoder with
+        # two properties that make the frozen comparison honest:
+        #   1. DECODER-AGNOSTIC supervision: a linear per-patch probe
+        #      (1×1 conv on the final 14×14 bottleneck, bilinearly
+        #      upsampled for the loss). An earlier cut co-trained a
+        #      ClipUNetNoSkips as the pretext head and the comparison
+        #      inverted — the encoder's final layer had been optimised
+        #      FOR the noskips decoder, a structural bias. The probe
+        #      shares no architecture with either arm, and supervision
+        #      still enters only through the final layer (contrastive
+        #      CLIP likewise never supervises intermediate blocks).
+        #   2. DISTRIBUTION SHIFT: pretraining runs on a shifted
+        #      distribution of the same family (larger, higher-contrast
+        #      objects, calmer background), the ablation arms on the
+        #      hard task — mirroring the CLIP pretrain→transfer gap
+        #      that makes intermediate features worth tapping at all.
         size = 224 if on_accel else 64
-        vit = ClipViTConfig(image_size=size, patch_size=16, hidden_size=64,
-                            num_layers=4, num_heads=4, mlp_dim=128)
+        hid = args.vit_hidden if on_accel else 32
+        vit = ClipViTConfig(image_size=size, patch_size=16, hidden_size=hid,
+                            num_layers=args.vit_layers if on_accel else 2,
+                            num_heads=4, mlp_dim=2 * hid)
         chans = tuple(max(8, 64 >> i) for i in range(5))
         t224 = _dataset(n, size, seed=0)
         v224 = _dataset(max(16, n // 4), size, seed=1, keep_orig=True)
         loss = DiceCELoss(class_weights=full_w)
-        pre_epochs = 2 * epochs if on_accel else epochs
+        pre_epochs = (args.clip_pre_epochs or 10 * epochs) if on_accel \
+            else epochs
+        clip_epochs = (args.clip_epochs or 3 * epochs) if on_accel \
+            else epochs
+
+        import flax.linen as nn
+
+        from image_segmentation_tpu.models.clip_unet import tokens_to_grid
+        from image_segmentation_tpu.models.clip_vit import ClipViT
+
+        class _PatchProbe(nn.Module):
+            """Linear per-patch readout on the ViT bottleneck."""
+            vit_cfg: ClipViTConfig
+            dtype: object
+
+            @nn.compact
+            def __call__(self, x, train: bool = False):
+                g = self.vit_cfg.grid_size
+                last, _ = ClipViT(self.vit_cfg, self.dtype,
+                                  name="encoder")(x)
+                grid = tokens_to_grid(last, g).astype(jnp.float32)
+                logits = nn.Conv(NUM_CLASSES, (1, 1), name="probe")(grid)
+                return jax.image.resize(
+                    logits,
+                    (x.shape[0], x.shape[1], x.shape[2], NUM_CLASSES),
+                    method="bilinear",
+                )
+
+        shift = dict(obj_lo=6, obj_hi=3, contrast=(0.3, 0.5),
+                     noise=0.05, bg=(0.5, 0.1))
+        pre_t = _dataset(n, size, seed=50, items_kw=shift)
+        pre_v = _dataset(max(16, n // 4), size, seed=51, keep_orig=True,
+                         items_kw=shift)
         _, pre_state = _run(
-            ClipUNetNoSkips(num_classes=NUM_CLASSES, vit=vit,
-                            decoder_channels=chans, dtype=dtype,
-                            freeze_encoder=False),
-            t224, v224, loss, pre_epochs, batch,
-            ("skips", "encoder_pretrain(cotrained-noskips)"))
+            _PatchProbe(vit_cfg=vit, dtype=dtype),
+            pre_t, pre_v, loss, pre_epochs, batch,
+            ("skips", "encoder_pretrain(linear-probe,shifted)"))
         enc = {"params": {"encoder": pre_state.params["encoder"]}}
 
         for variant, model in (
@@ -279,7 +338,7 @@ def main() -> None:
         ):
             row, st = _run(
                 model, t224, v224, loss,
-                epochs, batch, ("skips", variant),
+                clip_epochs, batch, ("skips", variant),
                 frozen=("encoder",), patch=enc)
             if "skips" in picked:
                 results.append(row)
@@ -325,7 +384,7 @@ def main() -> None:
                             decoder_channels=chans,
                             unet_base=base if on_accel else 8, dtype=dtype),
                 pt, pv, DiceNLLLoss(),
-                epochs, batch, ("prompt_freeze", variant),
+                clip_epochs, batch, ("prompt_freeze", variant),
                 frozen=("clip",) if freeze else ("clip/encoder",),
                 patch=clip_patch)
             results.append(row)
@@ -363,7 +422,12 @@ def main() -> None:
             json.dump({
                 "device": jax.devices()[0].device_kind,
                 "config": {"images": n, "epochs": epochs, "batch": batch,
-                           "base": base, "target": T},
+                           "base": base, "target": T,
+                           "clip_pre_epochs": args.clip_pre_epochs
+                           or 10 * epochs,
+                           "clip_epochs": args.clip_epochs or 3 * epochs,
+                           "vit_hidden": args.vit_hidden,
+                           "vit_layers": args.vit_layers},
                 "rows": results,
                 "summaries": summaries,
             }, f, indent=1)
