@@ -41,11 +41,18 @@ def _pack_transfer(arr: np.ndarray, fast_transfer: bool) -> np.ndarray:
 
 
 def make_serving_forward(model, variables, fast_transfer: bool = True):
-    """THE serving forward contract, shared by live registration
-    (InferenceEngine.register jits it) and AOT export (serve/export.py
-    lowers it): uint8 inputs decode to [0,1] float on device; scores
-    come back bfloat16 when fast_transfer (≈2.5× less host↔device
-    traffic), float32 otherwise."""
+    """THE serving forward contract, shared by live registration and AOT
+    export (serve/export.py lowers it): uint8 inputs decode to [0,1]
+    float on device; scores come back bfloat16 when fast_transfer
+    (≈2.5× less host↔device traffic), float32 otherwise.
+
+    This closure-capturing form embeds `variables` as HLO constants —
+    exactly right for AOT export (the artifact must carry its weights),
+    but wrong for live jit over a remote-compile tunnel: the compile
+    request would ship every weight as a literal (an 86M-param ViT
+    f32 = 344 MB of constants ⇒ HTTP 413 over the axon tunnel).
+    Live registration therefore jits `make_serving_forward_params`
+    below and passes the weights as a device-resident argument."""
 
     def fwd(*inputs):
         inputs = [
@@ -54,6 +61,18 @@ def make_serving_forward(model, variables, fast_transfer: bool = True):
         ]
         out = model.apply(variables, *inputs, train=False)
         return out.astype(jnp.bfloat16) if fast_transfer else out
+
+    return fwd
+
+
+def make_serving_forward_params(model, fast_transfer: bool = True):
+    """The same serving contract with `variables` as the first ARGUMENT
+    (what InferenceEngine.register jits): the compiled program takes the
+    weights as parameters, so compile requests carry only the HLO and
+    one program serves any weight set of the same structure."""
+
+    def fwd(variables, *inputs):
+        return make_serving_forward(model, variables, fast_transfer)(*inputs)
 
     return fwd
 
@@ -153,24 +172,31 @@ class InferenceEngine:
             from image_segmentation_tpu.parallel.mesh import replicate
 
             variables = replicate(variables, self.mesh)
+        else:
+            # device-resident weights passed as a jit ARGUMENT (not a
+            # closure constant): the compile request carries only the
+            # HLO — closure capture shipped every weight as a literal
+            # and blew the remote-compile body limit on the big models
+            variables = jax.device_put(variables)
 
         jitted = jax.jit(
-            make_serving_forward(model, variables, self.fast_transfer)
+            make_serving_forward_params(model, self.fast_transfer)
         )
 
         if self.mesh is None:
-            forward = jitted
+            def forward(*inputs, _v=variables, _j=jitted):
+                return _j(_v, *inputs)
         else:
             sharding = self._batch_sharding
             n_dev = self._n_mesh_devices
 
-            def forward(*inputs):
+            def forward(*inputs, _v=variables, _j=jitted):
                 if inputs[0].shape[0] % n_dev == 0:
                     inputs = tuple(
                         jax.device_put(jnp.asarray(x), sharding)
                         for x in inputs
                     )
-                return jitted(*inputs)
+                return _j(_v, *inputs)
 
         self.models[name] = ModelEntry(
             name=name,
