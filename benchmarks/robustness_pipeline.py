@@ -53,9 +53,15 @@ def make_pet_source(src, n, seed=0, lo=120, hi=280):
     """Oxford-Pet-layout download tree of synthetic scenes.
 
     Scenes are learnable but not trivial: dark textured background, a
-    color-tinted elliptical pet (cats reddish, dogs greenish) with
-    appearance jitter, and a bright border ring (trimap 3). Stems follow
-    the dataset's convention (capitalized = cat) so the prepare script's
+    color-tinted pet (cats reddish, dogs greenish) with appearance
+    jitter, and a bright border ring (trimap 3). Crucially the species
+    is ALSO shape-coded (cats elliptical, dogs diamond-shaped): with a
+    color-only cue, photometric perturbations (brightness shifts)
+    destroy the class signal itself and neither arm can be robust —
+    measured exactly so in an earlier cut. A redundant shape cue gives
+    augmentation (grayscale, contrast, noise) something to transfer
+    reliance onto, which is the report's mechanism. Stems follow the
+    dataset's convention (capitalized = cat) so the prepare script's
     species decoding runs unmodified."""
     from PIL import Image
 
@@ -78,7 +84,10 @@ def make_pet_source(src, n, seed=0, lo=120, hi=280):
         cy, cx = rng.uniform(0.3, 0.7) * h, rng.uniform(0.3, 0.7) * w
         ry, rx = rng.uniform(0.18, 0.33) * h, rng.uniform(0.18, 0.33) * w
         yy, xx = np.mgrid[0:h, 0:w]
-        d = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
+        if cat:  # ellipse (L2 ball)
+            d = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
+        else:  # diamond (L1 ball)
+            d = np.abs((yy - cy) / ry) + np.abs((xx - cx) / rx)
         blob, ring = d < 1.0, (d >= 1.0) & (d < 1.45)
         tint = (np.array([0.75, 0.25, 0.2]) if cat
                 else np.array([0.2, 0.75, 0.25]))
@@ -105,6 +114,15 @@ def main(argv=None):
     p.add_argument("--target-size", type=int, default=256)
     p.add_argument("--workdir", default=None,
                    help="keep the tree + runs here (default: temp dir)")
+    p.add_argument("--online-aug", action="store_true",
+                   help="online device augmentation for the aug arm "
+                        "instead of the reference's offline 8-augmenter "
+                        "pipeline (C29). The REPORT's robustness claim "
+                        "is about the offline pipeline — grayscale / "
+                        "Laplace-noise / blur / linear-contrast "
+                        "augmenters are what buy invariance to the "
+                        "photometric perturbation families — so "
+                        "offline is the default here.")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -133,6 +151,7 @@ def main(argv=None):
         "--rows", "unet_aug,unet_noaug",
         "--epochs", str(args.epochs), "--batch-size", str(args.batch),
         "--target-size", str(args.target_size),
+        *([] if args.online_aug else ["--offline-aug"]),
         "--json-out", os.path.join(work, "table.json"),
     ])
 

@@ -109,6 +109,48 @@ class TestEngine:
         with pytest.raises(KeyError):
             engine.segment(np.zeros((10, 10, 3), np.float32), "nope")
 
+    def test_registered_forward_does_not_embed_weights(self):
+        """The live serving forward must take weights as a jit ARGUMENT,
+        not closure constants: closure capture embeds every weight as an
+        HLO literal, and a big model's compile request then exceeds the
+        remote-compile tunnel's body limit (measured: full-geometry
+        ClipUNet -> HTTP 413). Lowering the params-form forward must
+        produce an HLO whose size does not scale with the weights."""
+        import jax
+        import jax.numpy as jnp
+
+        from image_segmentation_tpu.models import UNet
+        from image_segmentation_tpu.serve.engine import (
+            make_serving_forward,
+            make_serving_forward_params,
+        )
+
+        model = UNet(num_classes=4, base=16)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+        )
+        n_weight_bytes = sum(
+            np.asarray(x).nbytes for x in jax.tree.leaves(variables)
+        )
+        assert n_weight_bytes > 4_000_000  # the experiment is meaningful
+
+        x = jnp.zeros((1, 32, 32, 3))
+        params_text = jax.jit(
+            make_serving_forward_params(model)
+        ).lower(variables, x).as_text()
+        # weights-as-arguments: HLO is structure-only, orders of
+        # magnitude below the weight bytes
+        assert len(params_text) < n_weight_bytes / 4, len(params_text)
+
+        # the closure form (AOT export's contract) embeds them — that is
+        # its documented job, and what register() must never lower
+        closure_text = jax.jit(
+            make_serving_forward(model, variables)
+        ).lower(x).as_text()
+        assert len(closure_text) > len(params_text) * 5, (
+            len(closure_text), len(params_text)
+        )
+
 
 class TestHandler:
     def test_segment_happy_path(self, engine):
