@@ -60,6 +60,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import tempfile
 
 import numpy as np
@@ -217,6 +218,12 @@ def main() -> None:
     args = p.parse_args()
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon TPU plugin registers itself ahead of env-var platform
+        # selection (sitecustomize), so honoring a CPU request needs the
+        # config override too — same dance as tests/conftest.py
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from image_segmentation_tpu.losses import DiceCELoss
@@ -282,8 +289,9 @@ def main() -> None:
         #      that makes intermediate features worth tapping at all.
         size = 224 if on_accel else 64
         hid = args.vit_hidden if on_accel else 32
+        # >=4 layers always: the skips arm taps hidden states 1..4
         vit = ClipViTConfig(image_size=size, patch_size=16, hidden_size=hid,
-                            num_layers=args.vit_layers if on_accel else 2,
+                            num_layers=args.vit_layers if on_accel else 4,
                             num_heads=4, mlp_dim=2 * hid)
         chans = tuple(max(8, 64 >> i) for i in range(5))
         t224 = _dataset(n, size, seed=0)

@@ -96,6 +96,11 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon TPU plugin outranks env-var platform selection; honor
+        # a CPU request via the config override (as tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from image_segmentation_tpu.losses import DiceCELoss

@@ -60,9 +60,10 @@ def test_loss_experiment_runs_end_to_end():
 
 @pytest.mark.slow
 def test_skips_and_prompt_freeze_experiments_run_end_to_end():
-    """The CLIP-family arms: encoder pretrain (co-trained no-skips) →
-    frozen skips/noskips comparison → prompt frozen-vs-finetuned, all
-    chained inside the harness (VERDICT r2 item 3)."""
+    """The CLIP-family arms: encoder pretrain (decoder-agnostic linear
+    patch probe on a shifted distribution) → frozen skips/noskips
+    comparison → prompt frozen-vs-finetuned, all chained inside the
+    harness (VERDICT r2 item 3; pretext redesigned in r4)."""
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run(
         [sys.executable, "benchmarks/ablations.py",
@@ -73,7 +74,7 @@ def test_skips_and_prompt_freeze_experiments_run_end_to_end():
     rows = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
     runs = [x for x in rows if "experiment" in x]
     variants = {(x["experiment"], x["variant"]) for x in runs}
-    assert ("skips", "encoder_pretrain(cotrained-noskips)") in variants
+    assert ("skips", "encoder_pretrain(linear-probe,shifted)") in variants
     assert ("skips", "skips") in variants
     assert ("skips", "noskips") in variants
     assert ("prompt_freeze", "frozen") in variants
