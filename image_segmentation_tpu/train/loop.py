@@ -567,6 +567,50 @@ def _upload_train_arrays(arrays, mesh):
     return tuple(out)
 
 
+def _dispatch_epoch_chunked(train_epoch, state, dev_train, idx_mat, aug_key):
+    """Run one epoch through the whole-epoch program in bounded-length
+    dispatches.
+
+    One scan dispatch covering a very long epoch can exceed environment
+    execution deadlines: measured on the v5e tunnel here, a ~64 s single
+    dispatch executes but ~72 s crashes the TPU worker outright
+    (UNAVAILABLE, not a clean error). Real-data-scale epochs hit this —
+    23k augmented images at B=32 is 728 scan steps ≈ 60+ s. Chunking the
+    shuffled index matrix bounds per-dispatch duration while keeping
+    every residency property: the dataset stays in HBM, the state stays
+    donated, host↔device traffic per chunk is (chunk, B) indices in and
+    (chunk,) losses out. At most two program shapes compile (full chunks
+    + one remainder).
+
+    `ISTPU_EPOCH_MAX_STEPS_PER_DISPATCH` (default 256) caps scan steps
+    per dispatch; <= 0 disables chunking. The cap unit is steps, so for
+    unusually slow steps (e.g. 512px, large batch) lower it such that
+    cap × step_time stays well under ~60 s; a warning prints when a
+    dispatch exceeds 45 s. Chunking folds the chunk's start step into
+    the augmentation key, so augmentation draws differ from the
+    unchunked schedule (still fully deterministic for a fixed seed and
+    cap)."""
+    cap = int(os.environ.get("ISTPU_EPOCH_MAX_STEPS_PER_DISPATCH", "256"))
+    nsteps = idx_mat.shape[0]
+    if cap <= 0 or nsteps <= cap:
+        return train_epoch(state, dev_train, jnp.asarray(idx_mat), aug_key)
+    losses = []
+    for s in range(0, nsteps, cap):
+        t0 = time.time()
+        state, l = train_epoch(
+            state, dev_train, jnp.asarray(idx_mat[s:s + cap]),
+            jax.random.fold_in(aug_key, s),
+        )
+        losses.append(np.asarray(l))  # blocks: one dispatch in flight
+        dt = time.time() - t0
+        if dt > 45.0 and s == 0:
+            print(f"[fit] warning: epoch dispatch of {len(losses[-1])} "
+                  f"steps took {dt:.0f}s — lower "
+                  "ISTPU_EPOCH_MAX_STEPS_PER_DISPATCH to stay clear of "
+                  "execution deadlines (~70s kills the TPU worker here)")
+    return state, np.concatenate(losses)
+
+
 def fit(
     state,
     train_data: MaterializedDataset,
@@ -615,6 +659,18 @@ def fit(
     used for evaluation — e.g. merging decoder-only params back into the
     full model when training on cached frozen-encoder features
     (train.feature_cache)."""
+    if eval_loss_cfg is None and host_loss_fn is None:
+        # default the val loss to the train loss under the EVAL contract
+        # (eval ignore_index, tight Dice smooth — what run.py wires
+        # explicitly; reference eval_loop reuses its train loss_fn the
+        # same way, utils/training.py:97). Without this the device eval
+        # had no loss config and reported val loss = nan.
+        try:
+            eval_loss_cfg = dataclasses.replace(
+                loss_fn, ignore_index=eval_ignore_index, smooth_dice=1e-5
+            )
+        except TypeError:
+            eval_loss_cfg = None  # custom callable: no val loss
     if jax.process_count() > 1:
         # fit() is a single-controller loop (host-side data upload,
         # write-behind checkpoint fetches of fully-addressable state).
@@ -714,6 +770,19 @@ def fit(
                     print(f"[fit] uint8 HBM residency "
                           f"({train_bytes / 2**20:.0f} MB float32 > "
                           f"{cache_mb:.0f} MB budget)")
+                if cache_mb > 4096 and verbose:
+                    # the budget covers DATA only; the step's activation
+                    # working set (several GiB at B>=64, 256px, base=64)
+                    # shares the same HBM. An oversized override can
+                    # crash the TPU worker outright (observed at
+                    # 8192 MB budget + 5.8 GiB resident + B=64) rather
+                    # than raise a clean OOM — if that happens, lower
+                    # ISTPU_TRAIN_DEVICE_CACHE_MB or the batch size.
+                    print("[fit] note: residency budget raised above the "
+                          "4096 MB default — leave HBM headroom for the "
+                          "training step's activations (a TPU-worker "
+                          "crash here means the budget or batch is too "
+                          "large)")
                 arrays = (_quantize_u8(train_data.images),) + (
                     (_quantize_u8(train_data.heatmaps),) if has_aux else ()
                 ) + (_labels_u8(train_data.labels),)
@@ -754,8 +823,8 @@ def fit(
                 # permutation, drop_last
                 order = rng.permutation(n)[: nsteps * batch_size]
                 idx_mat = order.reshape(nsteps, batch_size).astype(np.int32)
-                state, losses = train_epoch(
-                    state, dev_train, jnp.asarray(idx_mat), aug_key,
+                state, losses = _dispatch_epoch_chunked(
+                    train_epoch, state, dev_train, idx_mat, aug_key,
                 )
                 train_loss = float(np.mean(np.asarray(losses)))
             else:
@@ -978,9 +1047,9 @@ def fit_reconstruction(
             nsteps = max(1, n // batch_size)
             order = rng.permutation(n)[: nsteps * batch_size]
             idx_mat = order.reshape(nsteps, -1).astype(np.int32)
-            state, losses = train_epoch(
-                state, dev_train,
-                jnp.asarray(idx_mat), jax.random.PRNGKey(seed + epoch),
+            state, losses = _dispatch_epoch_chunked(
+                train_epoch, state, dev_train, idx_mat,
+                jax.random.PRNGKey(seed + epoch),
             )
             train_loss = float(np.mean(np.asarray(losses)))
         else:

@@ -151,6 +151,46 @@ class TestTrainEpoch:
                 name="x", augment_fn=aug, verbose=False,
             )
 
+    def test_chunked_epoch_dispatch_is_exact(self, monkeypatch):
+        """_dispatch_epoch_chunked (bounded-duration dispatches for very
+        long epochs — a single >70 s dispatch crashes the TPU worker on
+        the tunnel here) must be COMPUTATION-identical to the single
+        dispatch when no augmentation runs: same batches in the same
+        order through the same donated state, just split across
+        dispatches."""
+        from image_segmentation_tpu.train.loop import (
+            _dispatch_epoch_chunked,
+        )
+        from image_segmentation_tpu.train.steps import make_train_epoch
+
+        rng = np.random.default_rng(0)
+        N, B, S = 12, 2, 32
+        images = jnp.asarray(rng.uniform(0, 1, (N, S, S, 3)), jnp.float32)
+        labels = jnp.asarray(rng.integers(0, 4, (N, S, S)), jnp.int32)
+        idx_mat = rng.permutation(N).reshape(-1, B).astype(np.int32)
+        model = UNet(num_classes=4, base=8)
+
+        def run(cap):
+            monkeypatch.setenv("ISTPU_EPOCH_MAX_STEPS_PER_DISPATCH",
+                               str(cap))
+            state = create_train_state(
+                model, jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)),
+                make_adamw(1e-3),
+            )
+            epoch = make_train_epoch(DiceCELoss())
+            st, losses = _dispatch_epoch_chunked(
+                epoch, state, (images, labels), idx_mat,
+                jax.random.PRNGKey(7),
+            )
+            return st, np.asarray(losses)
+
+        st1, l1 = run(0)      # chunking disabled: one dispatch
+        st4, l4 = run(4)      # 6 steps -> chunks of 4 + remainder 2
+        np.testing.assert_array_equal(l1, l4)
+        for a, b in zip(jax.tree.leaves(st1.params),
+                        jax.tree.leaves(st4.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_epoch_scan_matches_per_batch_steps(self):
         from image_segmentation_tpu.train.steps import make_train_epoch
 
