@@ -88,6 +88,100 @@ REFERENCE_SERVE_REQ_PER_SEC = 1.025
 REFERENCE_SERVE_P50_MS = 975.76
 
 
+class ContentionGuard:
+    """Calibrated matmul probe that defends timing windows against host
+    and tunnel contention.
+
+    Why: the round-4 benchmark of record was captured during a sustained
+    contention episode — all three back-to-back windows measured
+    ~326 img/s where the same commit reproducibly measures ~417 before
+    and after (22% under-report, a recorded miss of the 10× target).
+    Back-to-back windows share any episode longer than the whole
+    capture, so de-noising needs an INDEPENDENT reference workload:
+    a fixed bf16 matmul chain (64× 4096² matmuls in one dispatch,
+    ≈8.8 TFLOP) whose achieved TFLOP/s is measured before every timing
+    window. When a probe lands >`tol` below the session's best
+    observation, the window is postponed with bounded backoff until the
+    probe recovers (or the retry budget runs out). Every probe reading
+    is emitted in the JSON, so a depressed capture is self-diagnosing:
+    low probes alongside a low value = contention, not a regression.
+
+    Tunables (env): ISTPU_BENCH_PROBE_TOL (default 0.95),
+    ISTPU_BENCH_PROBE_RETRIES (default 10), ISTPU_BENCH_PROBE_BACKOFF_S
+    (default 20)."""
+
+    N = 4096
+    ITERS = 64
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+        self.readings: list = []
+        self.waits = 0
+        self.best = 0.0
+        self.tol = float(os.environ.get("ISTPU_BENCH_PROBE_TOL", "0.95"))
+        self.max_retries = int(
+            os.environ.get("ISTPU_BENCH_PROBE_RETRIES", "10"))
+        self.backoff_s = float(
+            os.environ.get("ISTPU_BENCH_PROBE_BACKOFF_S", "20"))
+        if not enabled:
+            return
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        def chain(a):
+            def body(_, x):
+                return lax.dot(x, x) * (1.0 / ContentionGuard.N)
+
+            return lax.fori_loop(0, ContentionGuard.ITERS, body, a)
+
+        self._fn = jax.jit(chain)
+        a = jnp.full((self.N, self.N), 0.5, jnp.bfloat16)
+        self._a = jax.device_put(a)
+        np.asarray(self._fn(self._a)[0, 0])  # compile + sync
+        self._flops = 2.0 * self.N ** 3 * self.ITERS
+        # calibration: best of 3 probes anchors the expectation
+        for _ in range(3):
+            self._probe()
+
+    def _probe(self) -> float:
+        t0 = time.perf_counter()
+        out = self._fn(self._a)
+        np.asarray(out[0, 0])  # hard sync (tunnel-safe)
+        tflops = self._flops / (time.perf_counter() - t0) / 1e12
+        self.readings.append(round(tflops, 1))
+        self.best = max(self.best, tflops)
+        return tflops
+
+    def wait_until_quiet(self) -> None:
+        """Block (bounded) until the probe performs within `tol` of the
+        session best; call immediately before each timing window."""
+        if not self.enabled:
+            return
+        reading = self._probe()
+        retries = 0
+        while reading < self.tol * self.best and retries < self.max_retries:
+            retries += 1
+            self.waits += 1
+            print(
+                f"bench: contention probe {reading:.0f} TFLOP/s < "
+                f"{self.tol:.0%} of best {self.best:.0f} — backing off "
+                f"{self.backoff_s:.0f}s (retry {retries}/{self.max_retries})",
+                file=sys.stderr,
+            )
+            time.sleep(self.backoff_s)
+            reading = self._probe()
+
+    def report(self) -> dict:
+        if not self.enabled:
+            return {}
+        return {
+            "probe_tflops": self.readings,
+            "probe_best_tflops": round(self.best, 1),
+            "probe_waits": self.waits,
+        }
+
+
 def wait_for_backend() -> None:
     """Wait (bounded) for a usable JAX backend before the main process
     touches jax.
@@ -142,7 +236,7 @@ def wait_for_backend() -> None:
         time.sleep(30)
 
 
-def bench_serve(requests: int, concurrency: int) -> None:
+def bench_serve(requests: int, concurrency: int) -> dict:
     """Serving latency/throughput: single-stream p50 latency and the
     request rate under `concurrency` client threads through the
     BatchingEngine (the production serving path, serve/batching.py).
@@ -199,23 +293,19 @@ def bench_serve(requests: int, concurrency: int) -> None:
     conc_rps = n * 4 / dt
     batched.close()
 
-    print(
-        json.dumps(
-            {
-                "metric": "serve_requests_per_sec_concurrency%d" % concurrency,
-                "value": round(conc_rps, 2),
-                "unit": "requests/sec",
-                "vs_baseline": round(conc_rps / REFERENCE_SERVE_REQ_PER_SEC, 3),
-                "batching_speedup": round(conc_rps / single_rps, 3),
-                "single_stream_p50_ms": round(p50_ms, 2),
-                "single_stream_rps": round(single_rps, 2),
-                "reference_cpu_p50_ms": REFERENCE_SERVE_P50_MS,
-            }
-        )
-    )
+    return {
+        "metric": "serve_requests_per_sec_concurrency%d" % concurrency,
+        "value": round(conc_rps, 2),
+        "unit": "requests/sec",
+        "vs_baseline": round(conc_rps / REFERENCE_SERVE_REQ_PER_SEC, 3),
+        "batching_speedup": round(conc_rps / single_rps, 3),
+        "single_stream_p50_ms": round(p50_ms, 2),
+        "single_stream_rps": round(single_rps, 2),
+        "reference_cpu_p50_ms": REFERENCE_SERVE_P50_MS,
+    }
 
 
-def bench_serve_multimodel(requests: int, concurrency: int) -> None:
+def bench_serve_multimodel(requests: int, concurrency: int) -> dict:
     """All four model families registered concurrently, mixed load.
 
     The reference webapp registers unet/autoencoder/clip/prompt_model at
@@ -239,6 +329,8 @@ def bench_serve_multimodel(requests: int, concurrency: int) -> None:
     from image_segmentation_tpu.serve.batching import BatchingEngine
     from image_segmentation_tpu.serve.engine import InferenceEngine
 
+    from image_segmentation_tpu.serve.app import register_families
+
     on_accel = jax.devices()[0].platform != "cpu"
     engine = InferenceEngine()
     if on_accel:
@@ -250,22 +342,29 @@ def bench_serve_multimodel(requests: int, concurrency: int) -> None:
             "clip": (ClipUNet(num_classes=4), 224, False),
             "prompt_model": (PromptModel(), 224, True),
         }
-        for name, (model, tsize, needs_prompt) in specs.items():
-            sample = [jnp.zeros((1, tsize, tsize, 3))]
-            if needs_prompt:
-                sample.append(jnp.zeros((1, tsize, tsize, 1)))
-            variables = model.init(key, *sample, train=False)
-            engine.register(name, model, variables, target_size=tsize,
-                            needs_prompt=needs_prompt)
+
+        def _built():
+            for name, (model, tsize, needs_prompt) in specs.items():
+                sample = [jnp.zeros((1, tsize, tsize, 3))]
+                if needs_prompt:
+                    sample.append(jnp.zeros((1, tsize, tsize, 1)))
+                variables = model.init(key, *sample, train=False)
+                yield name, model, variables, tsize, needs_prompt
+
+        register_families(engine, _built())
     else:
-        for name, model, v, tsize, needs_prompt in demo_model_specs():
-            engine.register(name, model, v, target_size=tsize,
-                            needs_prompt=needs_prompt)
+        register_families(engine, demo_model_specs())
     batched = BatchingEngine(engine, max_batch=8, max_wait_ms=3.0)
     batched.warmup()
 
+    # DISTINCT image per request: with the composed prompt path's
+    # clip-score cache live (register_families), a single repeated image
+    # would let every prompt request after the first skip its ClipUNet
+    # forward — a warm-session number. This mode measures the COLD mixed
+    # load; the interactive-session win is measured separately
+    # (--serve-interactive).
     rng = np.random.default_rng(0)
-    img = rng.uniform(0, 1, (300, 400, 3)).astype(np.float32)
+    imgs = rng.uniform(0, 1, (64, 300, 400, 3)).astype(np.float32)
     prompt = np.zeros((300, 400), np.float32)
     prompt[140:160, 190:210] = 1.0
     names = list(engine.available())
@@ -273,7 +372,7 @@ def bench_serve_multimodel(requests: int, concurrency: int) -> None:
     def one(i):
         name = names[i % len(names)]
         mask = prompt if name == "prompt_model" else None
-        return batched.segment(img, name, prompt_mask=mask)
+        return batched.segment(imgs[i % len(imgs)], name, prompt_mask=mask)
 
     n = (requests if on_accel else 2) * 4  # per-family count × 4 families
     list(concurrent.futures.ThreadPoolExecutor(concurrency).map(
@@ -285,18 +384,24 @@ def bench_serve_multimodel(requests: int, concurrency: int) -> None:
     conc_rps = n / dt
     batched.close()
 
-    print(json.dumps({
+    cache = engine.models["prompt_model"].score_cache
+    return {
         "metric": "serve_multimodel_requests_per_sec_concurrency%d"
                   % concurrency,
         "value": round(conc_rps, 2),
         "unit": "requests/sec",
         "families": names,
         "requests": n,
+        "prompt_composed": cache is not None,
+        # receipts that the cold measurement stayed cold (distinct
+        # images): hits should be ~0
+        "clip_cache_hits": cache.hits if cache else 0,
+        "clip_cache_misses": cache.misses if cache else 0,
         "vs_baseline": round(conc_rps / REFERENCE_SERVE_REQ_PER_SEC, 3),
-    }))
+    }
 
 
-def bench_fit(images: int, epochs: int) -> None:
+def bench_fit(images: int, epochs: int) -> dict:
     """End-to-end training-loop throughput: fit() steady-state epoch time
     (train + original-resolution eval) with the device-resident
     single-dispatch epoch path. The number the per-step benchmark can't
@@ -337,68 +442,24 @@ def bench_fit(images: int, epochs: int) -> None:
     et = res.history["epoch_time_s"]
     steady = et[-1] if len(et) < 3 else float(np.median(et[1:]))
     value = n / steady
-    print(json.dumps({
+    return {
         "metric": "fit_epoch_images_per_sec_incl_eval_256px",
         "value": round(value, 2),
         "unit": "images/sec/chip",
         **_anchors(value),
         "epoch_times_s": [round(e, 2) for e in et],
         "fit_images": n,
-    }))
+    }
 
 
-def main() -> None:
-    p = argparse.ArgumentParser()
-    p.add_argument("--model", default="unet", choices=["unet", "clipunet"])
-    p.add_argument("--steps", type=int, default=10)
-    p.add_argument("--repeat", type=int, default=3,
-                   help="timing windows per benchmark; the best window "
-                        "is reported (de-noises host contention and "
-                        "tunnel jitter)")
-    p.add_argument("--batch", type=int, default=0, help="0 = auto")
-    p.add_argument("--size", type=int, default=256)
-    p.add_argument("--infer", action="store_true", help="benchmark inference")
-    p.add_argument("--infer-exported", action="store_true",
-                   help="benchmark inference THROUGH an AOT .istpu "
-                        "artifact (serve/export.py) — shows the "
-                        "serialized-StableHLO deployment path is "
-                        "perf-neutral vs the live jit")
-    p.add_argument("--fit", action="store_true",
-                   help="end-to-end fit() epoch throughput mode")
-    p.add_argument("--fit-images", type=int, default=512)
-    p.add_argument("--fit-epochs", type=int, default=4)
-    p.add_argument("--serve", action="store_true",
-                   help="serving latency/throughput mode")
-    p.add_argument("--serve-multimodel", action="store_true",
-                   help="serving mode with all 4 families registered "
-                        "concurrently (reference app.py:91-94), mixed "
-                        "round-robin load")
-    p.add_argument("--requests", type=int, default=40,
-                   help="serve mode: single-stream request count")
-    p.add_argument("--concurrency", type=int, default=16,
-                   help="serve mode: concurrent client threads")
-    args = p.parse_args()
 
-    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-        # honor an explicit CPU request: the axon PJRT plugin overrides
-        # plain env-var platform selection (same workaround as tests/
-        # conftest.py), so force it through jax.config before first use
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-    else:
-        wait_for_backend()
-
-    if args.serve:
-        bench_serve(args.requests, args.concurrency)
-        return
-    if args.serve_multimodel:
-        bench_serve_multimodel(args.requests, args.concurrency)
-        return
-    if args.fit:
-        bench_fit(args.fit_images, args.fit_epochs)
-        return
-
+def bench_step(args, model_name: str) -> dict:
+    """The per-step benchmark core (train by default, --infer /
+    --infer-exported variants): returns the payload instead of printing
+    so the default mode can run it for several models. A ContentionGuard
+    probe runs before every timing window (see the class docstring — the
+    round-4 capture was taken entirely inside a contention episode and
+    recorded an 8.997x where the same commit measures 11.49x)."""
     import jax
     import jax.numpy as jnp
 
@@ -407,17 +468,19 @@ def main() -> None:
     from image_segmentation_tpu.models.clip_unet import ClipUNet
     from image_segmentation_tpu.train import create_train_state, make_train_step
     from image_segmentation_tpu.train.state import make_adamw
+    from image_segmentation_tpu.train.steps import default_compiler_options
 
     platform = jax.devices()[0].platform
     on_accel = platform != "cpu"
     size = args.size if on_accel else 64
     # B=128 saturates one v5e chip for the 256px UNet (B=192+ fails to
     # compile/fit); CLIP at 224px uses a smaller default.
-    default_batch = (128 if args.model == "unet" else 32) if on_accel else 4
+    default_batch = (128 if model_name == "unet" else 32) if on_accel else 4
     batch = args.batch or default_batch
     steps = args.steps if on_accel else 3
+    guard = ContentionGuard(enabled=on_accel and not args.no_probe)
 
-    if args.model == "unet":
+    if model_name == "unet":
         model = UNet(num_classes=4, base=64 if on_accel else 8,
                      dtype=jnp.bfloat16 if on_accel else jnp.float32)
         name = "unet"
@@ -427,13 +490,14 @@ def main() -> None:
                          dtype=jnp.bfloat16 if on_accel else jnp.float32,
                          use_pallas_attention=on_accel)
         name = "clipunet"
-        size_used = 224
+        size_used = 224  # ClipViT requires its native patch grid
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.uniform(0, 1, (batch, size_used, size_used, 3)), jnp.float32
     )
-    labels = jnp.asarray(rng.integers(0, 4, (batch, size_used, size_used)), jnp.int32)
+    labels = jnp.asarray(
+        rng.integers(0, 4, (batch, size_used, size_used)), jnp.int32)
 
     tx = make_adamw(learning_rate=1e-3)
     state = create_train_state(
@@ -464,6 +528,7 @@ def main() -> None:
         np.asarray(out[0, 0, 0])  # compile + hard sync
         windows = []
         for _ in range(args.repeat):
+            guard.wait_until_quiet()
             t0 = time.perf_counter()
             for _ in range(steps):
                 out = call(images)
@@ -474,13 +539,15 @@ def main() -> None:
     elif args.infer:
         fwd = jax.jit(
             lambda s, x: s.apply_fn(
-                {"params": s.params, "batch_stats": s.batch_stats}, x, train=False
+                {"params": s.params, "batch_stats": s.batch_stats}, x,
+                train=False,
             )
         )
         np.asarray(fwd(state, images))  # compile + sync
         flops = _flops_per_call(fwd.lower(state, images).compile())
         windows = []
         for _ in range(args.repeat):
+            guard.wait_until_quiet()
             t0 = time.perf_counter()
             for _ in range(steps):
                 out = fwd(state, images)
@@ -492,18 +559,28 @@ def main() -> None:
     else:
         step = make_train_step(DiceCELoss(ignore_index=3))
         # cost analysis BEFORE the first donated call (donated buffers
-        # make a later .lower() re-trace awkward); the explicit
-        # lower/compile shares the jit cache so there is one compile
-        flops = _flops_per_call(step.lower(state, (images, labels)).compile())
+        # make a later .lower() re-trace awkward). The analysis compile
+        # passes the SAME compiler options the jitted step was built
+        # with (train/steps.py): the timed executable and the FLOP-count
+        # executable must be one program — without the explicit option
+        # the analysis compile could silently drop the production vmem
+        # flag (+1.8% measured) if jax ever stopped inheriting it.
+        flops = _flops_per_call(
+            step.lower(state, (images, labels)).compile(
+                compiler_options=default_compiler_options())
+        )
         state, loss = step(state, (images, labels))  # compile
         float(loss)  # hard sync (block_until_ready no-ops over the tunnel)
-        # Best of `--repeat` timing windows: one window is vulnerable to
-        # transient host contention and tunnel jitter (observed: the same
-        # executable measuring 285 vs 418 img/s under a concurrent test
-        # run); the best window is the executable's actual throughput —
-        # the median and full spread are emitted alongside it.
+        # Best of `--repeat` timing windows, each gated by the
+        # contention probe: one window is vulnerable to transient host
+        # contention and tunnel jitter (observed: the same executable
+        # measuring 285 vs 418 img/s under a concurrent test run); the
+        # best window is the executable's actual throughput — the median
+        # and full spread are emitted alongside it, and the probe trace
+        # shows whether the session was quiet.
         windows = []
         for _ in range(args.repeat):
+            guard.wait_until_quiet()
             t0 = time.perf_counter()
             for _ in range(steps):
                 state, loss = step(state, (images, labels))
@@ -518,14 +595,240 @@ def main() -> None:
         "unit": "images/sec/chip",
         **stats,
         **_anchors(value),
+        **guard.report(),
+        "_on_accel": on_accel,
     }
     if flops is not None and on_accel:
         # MFU from the best window: analytic dispatch FLOPs (XLA cost
-        # analysis) × dispatches ÷ time ÷ chip bf16 peak
+        # analysis) x dispatches / time / chip bf16 peak
         payload["mfu"] = round(
             flops * steps / min(windows) / V5E_BF16_PEAK_FLOPS, 4
         )
         payload["analytic_gflops_per_image"] = round(flops / batch / 1e9, 2)
+    return payload
+
+
+def bench_eval(images: int) -> dict:
+    """The original-resolution eval protocol alone (device confusion
+    protocol, train/fast_eval.py): images/sec over a synthetic val set —
+    the rate a user's per-epoch validation actually runs at."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.losses import DiceCELoss
+    from image_segmentation_tpu.models import UNet
+    from image_segmentation_tpu.run import synthetic_materialized
+    from image_segmentation_tpu.train import create_train_state
+    from image_segmentation_tpu.train.loop import evaluate
+    from image_segmentation_tpu.train.state import make_adamw
+
+    on_accel = jax.devices()[0].platform != "cpu"
+    n = images if on_accel else 8
+    T = 256 if on_accel else 64
+    val = synthetic_materialized(n, T, seed=1, keep_orig_labels=True)
+    model = UNet(num_classes=4, base=64 if on_accel else 8,
+                 dtype=jnp.bfloat16 if on_accel else jnp.float32)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.asarray(val.images[:1]),
+        make_adamw(learning_rate=1e-3),
+    )
+    cfg = DiceCELoss(ignore_index=3)
+    kw = dict(num_classes=4, eval_ignore_index=3,
+              batch_size=64 if on_accel else 8, protocol="device",
+              loss_cfg=cfg, verbose=False)
+    evaluate(state, val, **kw)  # compile + stage
+    t0 = time.perf_counter()
+    res = evaluate(state, val, **kw)
+    dt = time.perf_counter() - t0
+    value = n / dt
+    return {
+        "metric": "eval_protocol_images_per_sec_256px",
+        "value": round(value, 2),
+        "unit": "images/sec/chip",
+        "eval_images": n,
+        "miou": round(float(res["iou"]), 4),
+    }
+
+
+def bench_serve_interactive(clicks: int) -> dict:
+    """Interactive prompt session: ONE uploaded image, `clicks`
+    sequential point prompts — the reference webapp's actual UX
+    (segmentation_webapp/static/script.js:198-283, one forward per
+    click). Measures the COMPOSED prompt path (shared ClipUNet program +
+    clip-score cache + mask-head program, serve/engine.py
+    register_prompt_composed) against the monolithic PromptModel
+    registration: after the first click the composed path pays only the
+    small selection-head program."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.serve.engine import InferenceEngine
+    from image_segmentation_tpu.serve.render import render_points
+
+    on_accel = jax.devices()[0].platform != "cpu"
+    n = clicks if on_accel else 4
+    if on_accel:
+        from image_segmentation_tpu.models.clip_unet import ClipUNet
+        from image_segmentation_tpu.models.prompt import PromptModel
+
+        key = jax.random.PRNGKey(0)
+        tsize = 224
+        clip_model = ClipUNet(num_classes=4)
+        clip_v = clip_model.init(key, jnp.zeros((1, tsize, tsize, 3)),
+                                 train=False)
+        pm = PromptModel()
+        pv = pm.init(key, jnp.zeros((1, tsize, tsize, 3)),
+                     jnp.zeros((1, tsize, tsize, 1)), train=False)
+    else:
+        from image_segmentation_tpu.serve.app import demo_model_specs
+
+        specs = {s[0]: s for s in demo_model_specs()}
+        _, clip_model, clip_v, tsize, _ = specs["clip"]
+        _, pm, pv, _, _ = specs["prompt_model"]
+
+    composed = InferenceEngine()
+    composed.register("clip", clip_model, clip_v, tsize)
+    composed.register_prompt_composed("prompt_model", pm, pv, via="clip",
+                                      target_size=tsize)
+    mono = InferenceEngine()
+    mono.register("prompt_model", pm, pv, tsize, needs_prompt=True)
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (300, 400, 3)).astype(np.float32)
+    xs = rng.integers(20, 380, n)
+    ys = rng.integers(20, 280, n)
+
+    out = {}
+    for label, eng in (("composed", composed), ("monolithic", mono)):
+        # first click warms compile + (composed) the clip-score cache
+        eng.segment(img, "prompt_model",
+                    prompt_mask=render_points([{"x": 10, "y": 10}],
+                                              img.shape[:2]))
+        t0 = time.perf_counter()
+        for x, y in zip(xs, ys):
+            eng.segment(img, "prompt_model",
+                        prompt_mask=render_points(
+                            [{"x": int(x), "y": int(y)}], img.shape[:2]))
+        out[label + "_clicks_per_sec"] = round(
+            n / (time.perf_counter() - t0), 2)
+    cache = composed.models["prompt_model"].score_cache
+    return {
+        "metric": "serve_interactive_clicks_per_sec",
+        "value": out["composed_clicks_per_sec"],
+        "unit": "requests/sec",
+        "clicks": n,
+        **out,
+        "composed_speedup_vs_monolithic": round(
+            out["composed_clicks_per_sec"]
+            / max(out["monolithic_clicks_per_sec"], 1e-9), 2),
+        "clip_cache_hits": cache.hits if cache else 0,
+        "vs_baseline": round(out["composed_clicks_per_sec"]
+                             / REFERENCE_SERVE_REQ_PER_SEC, 3),
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="unet", choices=["unet", "clipunet"])
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--repeat", type=int,
+                   default=int(os.environ.get("ISTPU_BENCH_REPEAT", "3")),
+                   help="timing windows per benchmark; the best window "
+                        "is reported (de-noises host contention and "
+                        "tunnel jitter); env ISTPU_BENCH_REPEAT overrides "
+                        "the default")
+    p.add_argument("--no-profile", action="store_true",
+                   help="default mode: skip the extra multi-metric "
+                        "profile (clipunet step / fit epoch / eval / "
+                        "serving) and emit only the headline UNet step")
+    p.add_argument("--no-probe", action="store_true",
+                   help="disable the contention guard probe")
+    p.add_argument("--batch", type=int, default=0, help="0 = auto")
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--infer", action="store_true", help="benchmark inference")
+    p.add_argument("--infer-exported", action="store_true",
+                   help="benchmark inference THROUGH an AOT .istpu "
+                        "artifact (serve/export.py) — shows the "
+                        "serialized-StableHLO deployment path is "
+                        "perf-neutral vs the live jit")
+    p.add_argument("--fit", action="store_true",
+                   help="end-to-end fit() epoch throughput mode")
+    p.add_argument("--fit-images", type=int, default=512)
+    p.add_argument("--fit-epochs", type=int, default=4)
+    p.add_argument("--serve", action="store_true",
+                   help="serving latency/throughput mode")
+    p.add_argument("--serve-multimodel", action="store_true",
+                   help="serving mode with all 4 families registered "
+                        "concurrently (reference app.py:91-94), mixed "
+                        "round-robin load")
+    p.add_argument("--serve-interactive", action="store_true",
+                   help="interactive prompt-session mode: one uploaded "
+                        "image, many point prompts (the reference "
+                        "webapp UX) — measures the composed prompt "
+                        "path's clip-score cache")
+    p.add_argument("--requests", type=int, default=40,
+                   help="serve mode: single-stream request count")
+    p.add_argument("--concurrency", type=int, default=16,
+                   help="serve mode: concurrent client threads")
+    args = p.parse_args()
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # honor an explicit CPU request: the axon PJRT plugin overrides
+        # plain env-var platform selection (same workaround as tests/
+        # conftest.py), so force it through jax.config before first use
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        wait_for_backend()
+
+    if args.serve:
+        print(json.dumps(bench_serve(args.requests, args.concurrency)))
+        return
+    if args.serve_multimodel:
+        print(json.dumps(
+            bench_serve_multimodel(args.requests, args.concurrency)))
+        return
+    if args.serve_interactive:
+        print(json.dumps(bench_serve_interactive(args.requests)))
+        return
+    if args.fit:
+        print(json.dumps(bench_fit(args.fit_images, args.fit_epochs)))
+        return
+
+    payload = bench_step(args, args.model)
+
+    on_accel = payload.pop("_on_accel")
+    if (args.model == "unet" and not args.no_profile
+            and not args.infer and not args.infer_exported):
+        # Multi-metric profile behind the default capture (the strongest
+        # results — CLIP training, whole fit epochs, the eval protocol,
+        # four-family serving — were invisible to the single headline
+        # metric). Each entry is best-effort: a failure records itself
+        # without losing the headline.
+        profile = {}
+
+        def _try(key, fn):
+            try:
+                profile[key] = fn()
+            except Exception as e:  # noqa: BLE001 — record, don't die
+                profile[key] = {"error": repr(e)}
+
+        clip_args = argparse.Namespace(**vars(args))
+        clip_args.model = "clipunet"
+        clip_args.batch = 0
+        clip_args.steps = min(args.steps, 6)
+        clip_args.repeat = min(args.repeat, 2)
+        _try("clipunet_train", lambda: bench_step(clip_args, "clipunet"))
+        _try("fit_epoch", lambda: bench_fit(256 if on_accel else 16, 3))
+        _try("eval", lambda: bench_eval(512 if on_accel else 8))
+        _try("serve_multimodel",
+             lambda: bench_serve_multimodel(12 if on_accel else 2, 16))
+        _try("serve_interactive",
+             lambda: bench_serve_interactive(24 if on_accel else 4))
+        for v in profile.values():
+            v.pop("_on_accel", None)
+        payload["profile"] = profile
     print(json.dumps(payload))
 
 

@@ -236,6 +236,13 @@ def main() -> None:
     batch = args.batch if on_accel else 8
     base = args.base if on_accel else 8
     T = 256 if on_accel else 64
+    # explicit None checks: `args.x or default` would silently turn an
+    # intentional 0 back into the default; computed ONCE and reused by
+    # the JSON config record below
+    pre_epochs = (args.clip_pre_epochs if args.clip_pre_epochs is not None
+                  else 10 * epochs) if on_accel else epochs
+    clip_epochs = (args.clip_epochs if args.clip_epochs is not None
+                   else 3 * epochs) if on_accel else epochs
 
     train = _dataset(n, T, seed=0)
     val = _dataset(max(16, n // 4), T, seed=1, keep_orig=True)
@@ -297,11 +304,6 @@ def main() -> None:
         t224 = _dataset(n, size, seed=0)
         v224 = _dataset(max(16, n // 4), size, seed=1, keep_orig=True)
         loss = DiceCELoss(class_weights=full_w)
-        pre_epochs = (args.clip_pre_epochs or 10 * epochs) if on_accel \
-            else epochs
-        clip_epochs = (args.clip_epochs or 3 * epochs) if on_accel \
-            else epochs
-
         import flax.linen as nn
 
         from image_segmentation_tpu.models.clip_unet import tokens_to_grid
@@ -431,9 +433,8 @@ def main() -> None:
                 "device": jax.devices()[0].device_kind,
                 "config": {"images": n, "epochs": epochs, "batch": batch,
                            "base": base, "target": T,
-                           "clip_pre_epochs": args.clip_pre_epochs
-                           or 10 * epochs,
-                           "clip_epochs": args.clip_epochs or 3 * epochs,
+                           "clip_pre_epochs": pre_epochs,
+                           "clip_epochs": clip_epochs,
                            "vit_hidden": args.vit_hidden,
                            "vit_layers": args.vit_layers},
                 "rows": results,

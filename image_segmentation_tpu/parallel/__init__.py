@@ -15,13 +15,17 @@ from image_segmentation_tpu.parallel.pp import (
     stack_block_params,
     unstack_block_params,
 )
-from image_segmentation_tpu.parallel.sp import shard_batch_spatial
+from image_segmentation_tpu.parallel.sp import (
+    max_spatial_shards,
+    shard_batch_spatial,
+)
 
 __all__ = [
     "get_mesh",
     "shard_batch",
     "replicate",
     "shard_batch_spatial",
+    "max_spatial_shards",
     "pipeline_blocks",
     "stack_block_params",
     "unstack_block_params",

@@ -70,6 +70,34 @@ def spatial_sharding(
     )
 
 
+def max_spatial_shards(height: int, downsample_factor: int = 16) -> int:
+    """The SP capability envelope, as an API instead of a surprise.
+
+    The mesh's spatial axis may be at most `height // downsample_factor`
+    wide (the model's bottleneck rows): beyond that XLA SPMD's
+    padded-shard backward is SILENTLY WRONG (measured 9e-3 gradient
+    error, see shard_batch_spatial) and halo exchange degenerates into
+    all-gathers. Decision record (round 5): the sub-bottleneck regime is
+    PARKED rather than fixed with a manual shard_map halo-exchange
+    pipeline, because the envelope only excludes configurations SP
+    exists to avoid — for the 5-level UNet (factor 16):
+
+        height   max spatial shards
+         128px    8   (a full v5e-8 slice already)
+         256px   16
+         512px   32
+        2048px  128
+
+    i.e. every resolution that NEEDS spatial partitioning on real
+    slices (≥512px on ≤32 chips) is inside the envelope; the guard only
+    rejects small-image/many-shard layouts where pure DP is strictly
+    better anyway (a 128px image fits one chip thousands of times
+    over). Callers planning a mesh can clamp with this function; the
+    ValueError below remains as the hard backstop. PERFORMANCE.md §SP
+    records the measured wrong-gradient repro this parks around."""
+    return max(1, height // downsample_factor)
+
+
 def shard_batch_spatial(
     batch,
     mesh: Mesh,

@@ -104,6 +104,13 @@ def main(argv=None):
                         "scheduler=None); cosine = linear warmup over "
                         "--warmup-steps then cosine decay to 0")
     p.add_argument("--warmup-steps", type=int, default=None)
+    p.add_argument("--early-stop-patience", type=int, default=None,
+                   metavar="N",
+                   help="stop when val mIoU has not improved for N "
+                        "epochs (best-mIoU checkpointing unchanged — "
+                        "same best artifact as the reference's fixed "
+                        "100-epoch schedule without paying for the "
+                        "plateau)")
     p.add_argument("--ckpt-every", type=int, default=1,
                    help="'_last' preemption-checkpoint cadence in epochs "
                         "(best-metric epochs always checkpoint); raise "
@@ -701,6 +708,7 @@ def main(argv=None):
                 eval_loss_cfg=val_loss_fn,
                 checkpoint_every=args.ckpt_every,
                 metrics_logger=tb,
+                early_stop_patience=args.early_stop_patience,
             )
     finally:
         if tb is not None:

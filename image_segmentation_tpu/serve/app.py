@@ -143,13 +143,28 @@ def demo_model_specs(seed: int = 0, only: str | None = None):
         yield name, model, variables, 64, needs_prompt
 
 
+def register_families(eng: InferenceEngine, families) -> None:
+    """Register (name, model, variables, target_size, needs_prompt)
+    specs, composing the prompt family through the clip family's shared
+    ClipUNet program when both are present
+    (InferenceEngine.register_prompt_composed — one compiled
+    ViT/ClipUNet serves both families; the reference registry compiles
+    nothing and runs the composite eagerly per request,
+    segmentation_webapp/app.py:91-94)."""
+    for name, model, variables, tsize, needs_prompt in families:
+        if needs_prompt and "clip" in eng.models:
+            eng.register_prompt_composed(
+                name, model, variables, via="clip", target_size=tsize)
+        else:
+            eng.register(name, model, variables, tsize,
+                         needs_prompt=needs_prompt)
+
+
 def build_demo_engine(seed: int = 0, mesh=None) -> InferenceEngine:
     """Random-weight registry with all four model families at reduced
     size — exercises the full serving path without checkpoints."""
     eng = InferenceEngine(mesh=mesh)
-    for name, model, v, tsize, needs_prompt in demo_model_specs(seed):
-        eng.register(name, model, v, target_size=tsize,
-                     needs_prompt=needs_prompt)
+    register_families(eng, demo_model_specs(seed))
     return eng
 
 
@@ -213,11 +228,13 @@ def load_family_models(models_dir: str, only: str | None = None):
 def build_engine_from_checkpoints(models_dir: str, mesh=None) -> InferenceEngine:
     """Serving registry over whichever trained family checkpoints exist."""
     eng = InferenceEngine(mesh=mesh)
-    for name, model, variables, tsize, needs_prompt in load_family_models(
-        models_dir
-    ):
-        eng.register(name, model, variables, tsize, needs_prompt=needs_prompt)
-        print(f"[serve] loaded {name}")
+
+    def _loaded():
+        for spec in load_family_models(models_dir):
+            print(f"[serve] loaded {spec[0]}")
+            yield spec
+
+    register_families(eng, _loaded())
     if not eng.models:
         raise RuntimeError(f"no model checkpoints found in {models_dir}")
     return eng

@@ -128,7 +128,9 @@ class BatchingEngine:
                 arrs = [p.inputs[i] for p in batch]
                 while len(arrs) < bucket:
                     arrs.append(arrs[-1])
-                stacked.append(jnp.asarray(np.stack(arrs)))
+                # host array: forward device-puts it (the composed
+                # prompt path hashes staged bytes for its score cache)
+                stacked.append(np.stack(arrs))
             # slice off the padding ON DEVICE so padded rows never cross
             # the host link
             scores = np.asarray(
@@ -160,9 +162,9 @@ class BatchingEngine:
                 b *= 2
             buckets.append(self.max_batch)  # the cap bucket itself
             for b in buckets:
-                inputs = [jnp.asarray(np.zeros((b, t, t, 3), dt))]
+                inputs = [np.zeros((b, t, t, 3), dt)]
                 if entry.needs_prompt:
-                    inputs.append(jnp.asarray(np.zeros((b, t, t, 1), dt)))
+                    inputs.append(np.zeros((b, t, t, 1), dt))
                 np.asarray(entry.forward(*inputs)[:1, 0, 0])
 
     def available(self):

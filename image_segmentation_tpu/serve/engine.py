@@ -11,7 +11,7 @@ host inverse geometry → argmax → colorized mask.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -120,6 +120,86 @@ def unstage_result(scores: np.ndarray, meta, entry) -> dict:
     }
 
 
+def make_prompt_head_forward(mask_model, fast_transfer: bool = True):
+    """The selection-head half of the prompt model as a standalone
+    serving program: given the CLIP branch's 4-class scores (already
+    computed — by the SHARED ClipUNet serving program), run only the
+    mask U-Net and the probability composition
+    (reference prompt_based/prompt.py:33-55).
+
+    Same transfer contract as make_serving_forward: uint8 inputs decode
+    on device, bf16 scores out under fast_transfer. `clip_scores` is a
+    DEVICE array handed straight from the clip program's output — the
+    composition never round-trips through the host."""
+
+    def fwd(variables, x, heatmap, clip_scores):
+        x, heatmap = (
+            a.astype(jnp.float32) / 255.0 if a.dtype == jnp.uint8 else a
+            for a in (x, heatmap)
+        )
+        # float32 probability algebra regardless of branch dtype
+        # (models/prompt.py: the downstream log(x+1e-9) is bf16-hostile)
+        clip_prob = jax.nn.softmax(clip_scores.astype(jnp.float32), axis=-1)
+        mask_logit = mask_model.apply(variables, jnp.concatenate(
+            [x, heatmap], axis=-1), train=False)
+        mask_prob = jax.nn.sigmoid(mask_logit.astype(jnp.float32))
+        selected = mask_prob * clip_prob
+        final = jnp.concatenate(
+            [
+                1.0 - mask_prob,                          # ch0 deactivated
+                selected[..., 0:1] + selected[..., 3:4],  # ch1 bg + boundary
+                selected[..., 1:3],                       # ch2 cat, ch3 dog
+            ],
+            axis=-1,
+        )
+        return final.astype(jnp.bfloat16) if fast_transfer else final
+
+    return fwd
+
+
+class _ScoreCache:
+    """Small thread-safe LRU of DEVICE-resident clip-branch scores keyed
+    by staged-image bytes. Interactive prompt sessions (the reference
+    webapp's UX: upload one image, click many points —
+    segmentation_webapp/static/script.js:198-283) re-run the identical
+    frozen CLIP branch per click; a hit reduces the request to the small
+    mask-U-Net head program."""
+
+    def __init__(self, capacity: int = 16):
+        import collections
+        import threading
+
+        self._d = collections.OrderedDict()
+        self._lock = threading.Lock()
+        self.capacity = capacity
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def key(arr: np.ndarray):
+        import hashlib
+
+        return (arr.shape, str(arr.dtype),
+                hashlib.blake2b(arr.tobytes(), digest_size=16).digest())
+
+    def get(self, key):
+        with self._lock:
+            v = self._d.get(key)
+            if v is None:
+                self.misses += 1
+            else:
+                self._d.move_to_end(key)
+                self.hits += 1
+            return v
+
+    def put(self, key, value):
+        with self._lock:
+            self._d[key] = value
+            self._d.move_to_end(key)
+            while len(self._d) > self.capacity:
+                self._d.popitem(last=False)
+
+
 @dataclasses.dataclass
 class ModelEntry:
     name: str
@@ -127,6 +207,13 @@ class ModelEntry:
     target_size: int
     class_names: tuple
     needs_prompt: bool = False
+    # params-as-argument jitted program + its device variables — kept so
+    # other registrations can SHARE the compiled executable (the prompt
+    # family rides the clip family's ClipUNet program with its own
+    # weights, register_prompt_composed)
+    jitted: Optional[Callable] = None
+    variables: Any = None
+    score_cache: Optional[_ScoreCache] = None
 
 
 class InferenceEngine:
@@ -207,6 +294,100 @@ class InferenceEngine:
                 or (PROMPT_CLASS_NAMES if needs_prompt else SEG_CLASS_NAMES)
             ),
             needs_prompt=needs_prompt,
+            jitted=jitted,
+            variables=variables,
+        )
+
+    def register_prompt_composed(
+        self,
+        name: str,
+        prompt_model,
+        variables,
+        via: str,
+        target_size: int,
+        class_names: Optional[tuple] = None,
+        score_cache_capacity: int = 16,
+    ) -> None:
+        """Register a PromptModel that SHARES the already-registered
+        ClipUNet serving program `via` instead of compiling its own copy
+        of the whole composite.
+
+        The reference's PromptModel re-runs the full ClipUNet forward
+        inside every prompt request (prompt_based/prompt.py:33-55;
+        registry segmentation_webapp/app.py:91-94). Decomposed serving:
+
+          1. clip scores  = the `via` entry's params-as-argument jitted
+             program, called with THE PROMPT MODEL'S clip-branch weights
+             (same executable — weights are an argument, so the two
+             families share one compiled ViT/ClipUNet);
+          2. final scores = a small mask-U-Net head program
+             (make_prompt_head_forward) taking the clip scores as a
+             device-resident argument — no host round-trip between 1+2.
+
+        Clip scores are LRU-cached by staged-image bytes: an interactive
+        session clicking N points on one image pays the CLIP branch once
+        and the (~40× cheaper) head program N times.
+
+        Falls back to plain `register` under a mesh (sharded serving
+        keeps the monolithic program) or when `via` has no shareable
+        jitted program (AOT artifacts)."""
+        base = self.models.get(via)
+        if base is not None and base.target_size != target_size:
+            base = None  # different canvas — scores would be misshaped
+        if self.mesh is not None or base is None or base.jitted is None:
+            self.register(name, prompt_model, variables, target_size,
+                          needs_prompt=True, class_names=class_names)
+            return
+
+        # split the composite's variables into the two branch programs'
+        # trees (flax nests by submodule name: 'clip' / 'mask')
+        clip_vars = {"params": variables["params"]["clip"]}
+        mask_vars = {"params": variables["params"]["mask"]}
+        bs = variables.get("batch_stats", {})
+        if bs:
+            clip_vars["batch_stats"] = bs.get("clip", {})
+            mask_vars["batch_stats"] = bs.get("mask", {})
+
+        # the via program applies ITS module with the prompt's clip
+        # weights — only sound when the two trees agree leaf-for-leaf
+        def _spec(tree):
+            return jax.tree_util.tree_map(
+                lambda a: (jnp.shape(a), jnp.result_type(a)), tree)
+
+        if _spec(clip_vars) != _spec(base.variables):
+            self.register(name, prompt_model, variables, target_size,
+                          needs_prompt=True, class_names=class_names)
+            return
+        clip_vars = jax.device_put(clip_vars)
+        mask_vars = jax.device_put(mask_vars)
+
+        from image_segmentation_tpu.models.unet import UNet
+
+        mask_model = UNet(num_classes=1, base=prompt_model.unet_base,
+                          dtype=prompt_model.dtype)
+        head = jax.jit(make_prompt_head_forward(
+            mask_model, self.fast_transfer))
+        cache = _ScoreCache(capacity=score_cache_capacity)
+        via_jitted = base.jitted
+
+        def forward(x, heatmap, _cv=clip_vars, _mv=mask_vars):
+            key = scores = None
+            if isinstance(x, np.ndarray):
+                key = _ScoreCache.key(x)
+                scores = cache.get(key)
+            if scores is None:
+                scores = via_jitted(_cv, jnp.asarray(x))
+                if key is not None:
+                    cache.put(key, scores)
+            return head(_mv, jnp.asarray(x), jnp.asarray(heatmap), scores)
+
+        self.models[name] = ModelEntry(
+            name=name,
+            forward=forward,
+            target_size=target_size,
+            class_names=tuple(class_names or PROMPT_CLASS_NAMES),
+            needs_prompt=True,
+            score_cache=cache,
         )
 
     def register_exported(self, path: str, name: Optional[str] = None) -> str:
@@ -262,6 +443,9 @@ class InferenceEngine:
         inputs, meta = stage_request(
             image, entry, prompt_mask, self.fast_transfer
         )
-        dev_inputs = [jnp.asarray(x[None]) for x in inputs]
-        scores = np.asarray(entry.forward(*dev_inputs), dtype=np.float32)[0]
+        # HOST arrays go to forward (jit device-puts them itself): the
+        # composed prompt path keys its clip-score cache on the staged
+        # bytes, which only exist host-side here
+        host_inputs = [x[None] for x in inputs]
+        scores = np.asarray(entry.forward(*host_inputs), dtype=np.float32)[0]
         return unstage_result(scores, meta, entry)

@@ -567,6 +567,14 @@ def _upload_train_arrays(arrays, mesh):
     return tuple(out)
 
 
+# per-chunk dispatch diagnostics ring: (scan_steps, wall_s, compiled)
+# appended by _dispatch_epoch_chunked for every bounded dispatch —
+# readable by harnesses (scripts/fullscale_r5.py) to attribute
+# epoch-time outliers to compile events vs dispatch stalls.
+CHUNK_LOG: list = []
+CHUNK_LOG_MAX = 10000
+
+
 def _dispatch_epoch_chunked(train_epoch, state, dev_train, idx_mat, aug_key):
     """Run one epoch through the whole-epoch program in bounded-length
     dispatches.
@@ -585,17 +593,36 @@ def _dispatch_epoch_chunked(train_epoch, state, dev_train, idx_mat, aug_key):
     `ISTPU_EPOCH_MAX_STEPS_PER_DISPATCH` (default 256) caps scan steps
     per dispatch; <= 0 disables chunking. The cap unit is steps, so for
     unusually slow steps (e.g. 512px, large batch) lower it such that
-    cap × step_time stays well under ~60 s; a warning prints when a
-    dispatch exceeds 45 s. Chunking folds the chunk's start step into
+    cap × step_time stays well under ~60 s; a warning prints when an
+    already-compiled dispatch exceeds 45 s (compiling dispatches are
+    exempt — at 23k-image scale a chunk-program compile alone runs
+    30-40 s and is paid at most twice per run: full-chunk shape +
+    remainder shape). Chunking folds the chunk's start step into
     the augmentation key, so augmentation draws differ from the
     unchunked schedule (still fully deterministic for a fixed seed and
-    cap)."""
+    cap).
+
+    Diagnostics (the round-4 full-scale run had one unexplained 842.9 s
+    epoch amid 73.5 s neighbors): every chunk dispatch appends
+    (steps, wall_s, compiled) to the module-level `CHUNK_LOG` ring
+    (jit-cache growth across the call = a compile event), and
+    `ISTPU_LOG_CHUNKS=1` prints each record as it lands — enough to
+    split any future spike into compile vs dispatch-stall causes."""
     cap = int(os.environ.get("ISTPU_EPOCH_MAX_STEPS_PER_DISPATCH", "256"))
     nsteps = idx_mat.shape[0]
     if cap <= 0 or nsteps <= cap:
         return train_epoch(state, dev_train, jnp.asarray(idx_mat), aug_key)
+    log_chunks = os.environ.get("ISTPU_LOG_CHUNKS", "0") == "1"
+
+    def _cache_size():
+        try:
+            return train_epoch._cache_size()
+        except Exception:
+            return None
+
     losses = []
     for s in range(0, nsteps, cap):
+        before = _cache_size()
         t0 = time.time()
         state, l = train_epoch(
             state, dev_train, jnp.asarray(idx_mat[s:s + cap]),
@@ -603,9 +630,18 @@ def _dispatch_epoch_chunked(train_epoch, state, dev_train, idx_mat, aug_key):
         )
         losses.append(np.asarray(l))  # blocks: one dispatch in flight
         dt = time.time() - t0
-        if dt > 45.0 and s == 0:
+        after = _cache_size()
+        compiled = (before is not None and after is not None
+                    and after > before)
+        CHUNK_LOG.append((len(losses[-1]), round(dt, 2), compiled))
+        if len(CHUNK_LOG) > CHUNK_LOG_MAX:
+            del CHUNK_LOG[: len(CHUNK_LOG) - CHUNK_LOG_MAX]
+        if log_chunks:
+            print(f"[fit] chunk steps={len(losses[-1])} wall={dt:.1f}s"
+                  + (" (compiled)" if compiled else ""))
+        if dt > 45.0 and not compiled:
             print(f"[fit] warning: epoch dispatch of {len(losses[-1])} "
-                  f"steps took {dt:.0f}s — lower "
+                  f"compiled steps took {dt:.0f}s — lower "
                   "ISTPU_EPOCH_MAX_STEPS_PER_DISPATCH to stay clear of "
                   "execution deadlines (~70s kills the TPU worker here)")
     return state, np.concatenate(losses)
@@ -639,6 +675,7 @@ def fit(
     checkpoint_every: int = 1,
     metrics_logger=None,
     resident_dtype: str = "auto",
+    early_stop_patience: Optional[int] = None,
 ) -> FitResult:
     """Train with per-epoch original-resolution validation and
     best-val-mIoU checkpointing (reference utils/training.py:453-618).
@@ -658,18 +695,29 @@ def fit(
     `eval_state_fn(state) -> state'` maps the training state to the one
     used for evaluation — e.g. merging decoder-only params back into the
     full model when training on cached frozen-encoder features
-    (train.feature_cache)."""
+    (train.feature_cache).
+
+    `early_stop_patience=N` stops training after N consecutive epochs
+    without a val-mIoU improvement (the reference trains a fixed 100
+    epochs and keeps the best-mIoU checkpoint, utils/training.py:551-609
+    — early stop reaches the same best artifact without paying for the
+    plateau; the stop epoch is recorded in history['stopped_early'])."""
     if eval_loss_cfg is None and host_loss_fn is None:
         # default the val loss to the train loss under the EVAL contract
         # (eval ignore_index, tight Dice smooth — what run.py wires
         # explicitly; reference eval_loop reuses its train loss_fn the
         # same way, utils/training.py:97). Without this the device eval
-        # had no loss config and reported val loss = nan.
-        try:
+        # had no loss config and reported val loss = nan. Only the loss
+        # configs fast_eval.make_masked_loss dispatches on qualify —
+        # a custom frozen dataclass with the same field names would
+        # survive dataclasses.replace here only to crash at first eval.
+        from image_segmentation_tpu.losses import DiceCELoss, DiceNLLLoss
+
+        if isinstance(loss_fn, (DiceCELoss, DiceNLLLoss)):
             eval_loss_cfg = dataclasses.replace(
                 loss_fn, ignore_index=eval_ignore_index, smooth_dice=1e-5
             )
-        except TypeError:
+        else:
             eval_loss_cfg = None  # custom callable: no val loss
     if jax.process_count() > 1:
         # fit() is a single-controller loop (host-side data upload,
@@ -804,6 +852,7 @@ def fit(
         forward = _default_eval_forward()  # shared: avoid per-fit recompiles
         rng = np.random.default_rng(seed + start_epoch)
         agg = MetricsHistory(num_classes, ignore_index=eval_ignore_index)
+        epochs_since_improve = 0
 
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
@@ -901,6 +950,19 @@ def fit(
                 improved = val["iou"] > best["miou"]
             if improved:
                 best = {"dice": val["dice"], "miou": val["iou"], "loss": val["loss"]}
+                epochs_since_improve = 0
+            else:
+                epochs_since_improve += 1
+            if (early_stop_patience is not None
+                    and epochs_since_improve >= early_stop_patience):
+                stop_requested["flag"] = True
+                # list-valued like every other history entry (the
+                # history serializers list()-coerce all values)
+                history["stopped_early"] = [epoch + 1]
+                if verbose:
+                    print(f"[fit] early stop: no val-mIoU improvement in "
+                          f"{epochs_since_improve} epochs "
+                          f"(best {best['miou']:.4f})")
             last_due = (
                 (epoch + 1) % max(1, checkpoint_every) == 0
                 or epoch == epochs - 1

@@ -1,0 +1,217 @@
+"""Round-5 full-scale converged reproduction artifact.
+
+The reference's published table comes from CONVERGED runs — 100 epochs
+at effective batch 64 on the full Pet training split (reference
+utils/training.py:453-618; notebooks; PDF §3.3). Earlier rounds proved
+every pipeline stage at partial scale (10-epoch full-scale run, toy
+ablations); this script produces the end-to-end converged receipt:
+
+  1. pseudo-Pet source tree at full scale (no real Oxford-IIIT Pet
+     download exists in this environment — benchmarks/
+     robustness_pipeline.make_pet_source writes learnable variable-size
+     JPEG scenes in the exact download layout, shape+color species
+     coding), default 3,700 source images → ~2,590 train after the
+     0.15/0.15 split (the round-4 full-scale tree's size);
+  2. scripts/prepare_oxford_pet.py → {Train,Val,Test}/{color,label};
+  3. scripts/reproduce_reference.py rows unet_aug (offline 8-augmenter
+     C29 materialisation, ~23k augmented images) + unet_noaug, at the
+     reference 100-epoch effective-batch-64 schedule with a documented
+     early stop at converged val-mIoU (--early-stop-patience);
+  4. per-epoch wall-time series + the train loop's CHUNK_LOG
+     (train/loop.py) so any epoch-time outlier is attributable to
+     compile vs dispatch-stall (the round-4 run had one unexplained
+     842.9 s epoch);
+  5. the 8-perturbation × 10-severity robustness re-sweep of BOTH best
+     checkpoints on the Test split (PDF §4.1) — re-testing the two
+     round-4 outlier families (brightness_up, pixelate) at full scale.
+
+Run (TPU):
+  python scripts/fullscale_r5.py --out benchmarks/fullscale_r5.json \
+      [--workdir /tmp/fullscale_r5] [--images 3700] [--epochs 100]
+"""
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def _load(name, sub="scripts"):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(_REPO, sub, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _epoch_series(runs_dir, row, config_name):
+    """Per-epoch history from the run's metrics msgpack."""
+    import flax.serialization as ser
+
+    path = os.path.join(runs_dir, row, "metrics", config_name + ".msgpack")
+    with open(path, "rb") as f:
+        h = ser.msgpack_restore(f.read())
+    return {
+        "epoch_time_s": [round(float(t), 2) for t in h["epoch_time_s"]],
+        "val_miou": [round(float(v), 4) for v in h["val_iou"]],
+        "val_dice": [round(float(v), 4) for v in h["val_dice"]],
+        "train_loss": [round(float(v), 4) for v in h["train_loss"]],
+        "stopped_early": [int(v) for v in h.get("stopped_early", [])],
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--images", type=int, default=3700,
+                   help="pseudo-Pet source size (0.15/0.15 split → "
+                        "~0.7·N train, the round-4 full-scale tree)")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--patience", type=int, default=12,
+                   help="early-stop patience in epochs (documented "
+                        "convergence stop; 0 = full schedule)")
+    p.add_argument("--batch", type=int, default=64,
+                   help="effective batch (reference: 64 via grad accum, "
+                        "utils/training.py:49-56 — here one real batch)")
+    p.add_argument("--target-size", type=int, default=256)
+    p.add_argument("--workdir", default="/tmp/fullscale_r5")
+    p.add_argument("--rows", default="unet_aug,unet_noaug")
+    p.add_argument("--skip-robustness", action="store_true")
+    p.add_argument("--out", default=os.path.join(
+        _REPO, "benchmarks", "fullscale_r5.json"))
+    args = p.parse_args(argv)
+
+    os.environ.setdefault("ISTPU_LOG_CHUNKS", "1")
+
+    from benchmarks.robustness import PERTURBATIONS, robustness_sweep
+    from benchmarks.robustness_pipeline import make_pet_source
+
+    t_all = time.time()
+    work = args.workdir
+    src, tree = os.path.join(work, "src"), os.path.join(work, "tree")
+    runs = os.path.join(work, "runs")
+
+    if not os.path.isdir(os.path.join(tree, "Train")):
+        print(f"[fullscale] generating {args.images}-image pseudo-Pet "
+              f"source at {src}")
+        make_pet_source(src, args.images)
+        prep = _load("prepare_oxford_pet")
+        prep.main(["--src", src, "--dst", tree,
+                   "--val", "0.15", "--test", "0.15"])
+
+    import jax
+
+    from image_segmentation_tpu.train import loop as L
+
+    repro = _load("reproduce_reference")
+    t_train = time.time()
+    table = repro.main([
+        "--data-root", tree, "--save-dir", runs,
+        "--rows", args.rows,
+        "--epochs", str(args.epochs), "--batch-size", str(args.batch),
+        "--target-size", str(args.target_size),
+        "--offline-aug",
+        *(["--early-stop-patience", str(args.patience)]
+          if args.patience else []),
+        "--json-out", os.path.join(work, "table.json"),
+    ])
+    train_s = time.time() - t_train
+
+    # chunk-dispatch diagnostics: the full run's bounded dispatches,
+    # compile events separated from steady-state walls
+    chunks = list(L.CHUNK_LOG)
+    steady = [w for _, w, c in chunks if not c]
+    compile_walls = [w for _, w, c in chunks if c]
+    chunk_stats = {
+        "dispatches": len(chunks),
+        "compiles": len(compile_walls),
+        "compile_walls_s": [round(w, 1) for w in compile_walls],
+        "steady_wall_s_max": round(max(steady), 2) if steady else None,
+        "steady_wall_s_p50": round(float(np.median(steady)), 2)
+        if steady else None,
+    }
+
+    rows = [r.strip() for r in args.rows.split(",")]
+    curves = {}
+    gaps = {}
+    series = {row: _epoch_series(runs, row, row if row in
+                                 ("unet_aug", "unet_noaug") else row)
+              for row in rows}
+
+    if not args.skip_robustness and set(rows) >= {"unet_aug", "unet_noaug"}:
+        import jax.numpy as jnp
+
+        import image_segmentation_tpu.config as C
+        from image_segmentation_tpu.data.dataset import SegmentationDataset
+        from image_segmentation_tpu.data.labels import target_remap
+        from image_segmentation_tpu.data.loader import materialize
+        from image_segmentation_tpu.train import checkpoint as ckpt
+
+        test = SegmentationDataset(
+            os.path.join(tree, "Test", "color"),
+            os.path.join(tree, "Test", "label"),
+            target_transform=target_remap,
+        )
+        val = materialize(test, args.target_size, keep_orig_labels=True)
+        for row in ("unet_aug", "unet_noaug"):
+            cfg = C.CONFIGS[row]
+            model = C.build_model(
+                cfg, on_tpu=jax.devices()[0].platform != "cpu")
+            loaded = ckpt.load_variables_only(os.path.join(runs, row, row))
+            forward = jax.jit(
+                lambda x, _m=model, _v=loaded: _m.apply(
+                    {"params": _v["params"],
+                     "batch_stats": _v.get("batch_stats", {})},
+                    x, train=False,
+                ).astype(jnp.float32)
+            )
+            print(f"[fullscale] robustness sweep: {row}")
+            curves[row] = robustness_sweep(forward, val, num_classes=4)
+        mean_aug = {k: float(np.mean(v))
+                    for k, v in curves["unet_aug"].items()}
+        mean_no = {k: float(np.mean(v))
+                   for k, v in curves["unet_noaug"].items()}
+        gaps = {k: round(mean_aug[k] - mean_no[k], 4) for k in PERTURBATIONS}
+
+    out = {
+        "device": jax.devices()[0].device_kind,
+        "config": {
+            "source_images": args.images,
+            "epochs_budget": args.epochs,
+            "early_stop_patience": args.patience,
+            "effective_batch": args.batch,
+            "target_size": args.target_size,
+            "offline_aug": True,
+        },
+        "table": table,
+        "reference_table": {r: repro.REFERENCE_TABLE[r][1:] for r in rows
+                            if r in repro.REFERENCE_TABLE},
+        "epoch_series": series,
+        "chunk_dispatch": chunk_stats,
+        "robustness_mean_dice_gap_aug_minus_noaug": gaps,
+        "robustness_aug_wins": sum(1 for g in gaps.values() if g > 0),
+        "robustness_curves": {
+            r: {k: [round(d, 4) for d in v] for k, v in cv.items()}
+            for r, cv in curves.items()},
+        "train_wall_s": round(train_s, 1),
+        "total_wall_s": round(time.time() - t_all, 1),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"[fullscale] wrote {args.out}")
+    print(json.dumps({k: out[k] for k in (
+        "table", "chunk_dispatch",
+        "robustness_mean_dice_gap_aug_minus_noaug", "robustness_aug_wins",
+        "train_wall_s")}, indent=1, default=str))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,10 @@ def reproduce(args) -> dict:
     common = ["--data-root", args.data_root,
               "--epochs", str(args.epochs),
               "--batch-size", str(args.batch_size)]
+    if args.early_stop_patience:
+        # harmless on the eval invocations (run.py ignores fit-only
+        # flags in --evaluate mode), so it can ride `common`
+        common += ["--early-stop-patience", str(args.early_stop_patience)]
     if args.target_size:
         common += ["--target-size", str(args.target_size)]
     if args.max_devices:
@@ -175,6 +179,11 @@ def main(argv=None):
                         "(scripts/prepare_oxford_pet.py output)")
     p.add_argument("--save-dir", default="runs/repro")
     p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--early-stop-patience", type=int, default=None,
+                   help="per-row early stop: end training once val mIoU "
+                        "has not improved for N epochs (documented "
+                        "convergence stop; the best-mIoU checkpoint is "
+                        "what the Test eval scores either way)")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--target-size", type=int, default=None,
                    help="override per-config sizes (UNet/AE 256, "

@@ -109,6 +109,62 @@ class TestEngine:
         with pytest.raises(KeyError):
             engine.segment(np.zeros((10, 10, 3), np.float32), "nope")
 
+    def test_prompt_composed_shares_clip_program(self, engine):
+        """build_demo_engine registers the prompt family COMPOSED through
+        the clip family's ClipUNet program (register_prompt_composed):
+        the entry carries a score cache instead of its own monolithic
+        jitted composite, and repeat clicks on one image hit the cache —
+        the interactive-session contract the decomposition exists for
+        (reference webapp UX: many clicks per uploaded image,
+        segmentation_webapp/static/script.js:198-283)."""
+        from image_segmentation_tpu.serve.render import render_points
+
+        entry = engine.models["prompt_model"]
+        assert entry.score_cache is not None, (
+            "demo prompt family should register via "
+            "register_prompt_composed (matching clip architecture)")
+        rng = np.random.default_rng(1)
+        img = rng.uniform(0, 1, (60, 60, 3)).astype(np.float32)
+        h0 = entry.score_cache.hits
+        outs = [
+            engine.segment(img, "prompt_model",
+                           prompt_mask=render_points([{"x": x, "y": 30}],
+                                                     (60, 60)))
+            for x in (10, 30, 50)
+        ]
+        assert entry.score_cache.hits >= h0 + 2  # clicks 2 and 3 hit
+        assert all(o["mask"].shape == (60, 60) for o in outs)
+
+    def test_prompt_composed_matches_monolithic(self):
+        """Decomposed prompt serving (shared clip program + head
+        program) must produce the same segmentation as the monolithic
+        PromptModel registration — float32 transport for exactness."""
+        from image_segmentation_tpu.serve.app import demo_model_specs
+        from image_segmentation_tpu.serve.engine import InferenceEngine
+        from image_segmentation_tpu.serve.render import render_points
+
+        specs = {s[0]: s for s in demo_model_specs()}
+        mono = InferenceEngine(fast_transfer=False)
+        comp = InferenceEngine(fast_transfer=False)
+        for eng in (mono, comp):
+            name, model, v, tsize, _ = specs["clip"]
+            eng.register(name, model, v, tsize)
+        _, pm, pv, pt, _ = specs["prompt_model"]
+        mono.register("prompt_model", pm, pv, pt, needs_prompt=True)
+        comp.register_prompt_composed("prompt_model", pm, pv,
+                                      via="clip", target_size=pt)
+        assert comp.models["prompt_model"].score_cache is not None
+
+        rng = np.random.default_rng(2)
+        img = rng.uniform(0, 1, (48, 72, 3)).astype(np.float32)
+        hm = render_points([{"x": 36, "y": 24}], (48, 72))
+        a = mono.segment(img, "prompt_model", prompt_mask=hm)
+        b = comp.segment(img, "prompt_model", prompt_mask=hm)
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+        # and through the cache-hit path (second request, same image)
+        c = comp.segment(img, "prompt_model", prompt_mask=hm)
+        np.testing.assert_array_equal(a["mask"], c["mask"])
+
     def test_registered_forward_does_not_embed_weights(self):
         """The live serving forward must take weights as a jit ARGUMENT,
         not closure constants: closure capture embeds every weight as an

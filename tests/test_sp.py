@@ -45,6 +45,25 @@ def test_sp_guard_rejects_sub_bottleneck_sharding():
     assert not out.sharding.is_fully_replicated
 
 
+def test_max_spatial_shards_envelope():
+    """The capability envelope as an API (round-5 park decision,
+    parallel/sp.py max_spatial_shards): callers can clamp their mesh
+    instead of hitting the ValueError backstop, and the envelope
+    admits every resolution SP exists for (>=128px at 8-way)."""
+    from image_segmentation_tpu.parallel import max_spatial_shards
+
+    assert max_spatial_shards(128) == 8
+    assert max_spatial_shards(256) == 16
+    assert max_spatial_shards(2048) == 128
+    assert max_spatial_shards(64) == 4    # sub-8 → guard fires at 8-way
+    assert max_spatial_shards(8) == 1     # never zero
+    assert max_spatial_shards(64, downsample_factor=1) == 64
+    # consistency with the guard: exactly the envelope boundary passes
+    mesh = get_mesh(jax.devices()[:8])
+    ok = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    assert shard_batch_spatial(ok, mesh) is not None
+
+
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 fake devices")
 @pytest.mark.slow
 def test_sp_forward_matches_replicated():

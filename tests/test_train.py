@@ -416,6 +416,30 @@ class TestFitLoop:
             results[1].history["train_loss"]
         )
 
+    def test_fit_early_stop_patience(self, tmp_path):
+        """early_stop_patience=N ends training once val mIoU has gone N
+        epochs without improvement, records the stop epoch in history,
+        and still leaves the best-mIoU checkpoint on disk (the reference
+        always pays its full fixed 100-epoch schedule,
+        utils/training.py:551-609)."""
+        train_ds = materialize(synthetic_dataset(n=8), 32)
+        val_ds = materialize(
+            synthetic_dataset(n=4, seed=1), 32, keep_orig_labels=True
+        )
+        loss_fn = DiceCELoss(ignore_index=None)
+        _, state = small_state()
+        res = fit(
+            state, train_ds, val_ds, loss_fn=loss_fn, epochs=50,
+            batch_size=4, save_dir=str(tmp_path), name="es",
+            eval_loss_cfg=loss_fn, verbose=False,
+            early_stop_patience=2,
+        )
+        ran = len(res.history["train_loss"])
+        assert ran < 50, "patience 2 on a tiny plateauing run must stop early"
+        assert res.history["stopped_early"] == [ran]
+        assert os.path.isdir(tmp_path / "es")
+        assert 0 <= res.best["miou"] <= 1
+
     def test_resident_plan_policy(self):
         """'auto' keeps bit-exact float32 residency when it fits, drops
         to uint8 (4× capacity) when only that fits, streams otherwise."""
