@@ -106,21 +106,27 @@ class ContentionGuard:
     is emitted in the JSON, so a depressed capture is self-diagnosing:
     low probes alongside a low value = contention, not a regression.
 
-    Tunables (env): ISTPU_BENCH_PROBE_TOL (default 0.95),
-    ISTPU_BENCH_PROBE_RETRIES (default 10), ISTPU_BENCH_PROBE_BACKOFF_S
-    (default 20)."""
+    Anchor robustness (measured on this tunnel): single probe readings
+    jitter 94-121 TFLOP/s on a QUIET chip (dispatch/tunnel latency
+    rides the measurement), so the anchor is the MEDIAN of five
+    calibration probes — an all-time-best anchor ratchets on one lucky
+    reading and then never passes again — and each gate reading is the
+    best of two probes (noise spikes depress single probes; real
+    contention depresses both). Tunables (env): ISTPU_BENCH_PROBE_TOL
+    (default 0.92), ISTPU_BENCH_PROBE_RETRIES (default 8),
+    ISTPU_BENCH_PROBE_BACKOFF_S (default 20)."""
 
     N = 4096
-    ITERS = 64
+    ITERS = 128
 
     def __init__(self, enabled: bool = True):
         self.enabled = enabled
         self.readings: list = []
         self.waits = 0
-        self.best = 0.0
-        self.tol = float(os.environ.get("ISTPU_BENCH_PROBE_TOL", "0.95"))
+        self.anchor = 0.0
+        self.tol = float(os.environ.get("ISTPU_BENCH_PROBE_TOL", "0.92"))
         self.max_retries = int(
-            os.environ.get("ISTPU_BENCH_PROBE_RETRIES", "10"))
+            os.environ.get("ISTPU_BENCH_PROBE_RETRIES", "8"))
         self.backoff_s = float(
             os.environ.get("ISTPU_BENCH_PROBE_BACKOFF_S", "20"))
         if not enabled:
@@ -140,9 +146,8 @@ class ContentionGuard:
         self._a = jax.device_put(a)
         np.asarray(self._fn(self._a)[0, 0])  # compile + sync
         self._flops = 2.0 * self.N ** 3 * self.ITERS
-        # calibration: best of 3 probes anchors the expectation
-        for _ in range(3):
-            self._probe()
+        cal = sorted(self._probe() for _ in range(5))
+        self.anchor = cal[len(cal) // 2]  # median — robust to one spike
 
     def _probe(self) -> float:
         t0 = time.perf_counter()
@@ -150,34 +155,37 @@ class ContentionGuard:
         np.asarray(out[0, 0])  # hard sync (tunnel-safe)
         tflops = self._flops / (time.perf_counter() - t0) / 1e12
         self.readings.append(round(tflops, 1))
-        self.best = max(self.best, tflops)
         return tflops
+
+    def _gate_reading(self) -> float:
+        # best of two: a noise spike depresses one probe, contention both
+        return max(self._probe(), self._probe())
 
     def wait_until_quiet(self) -> None:
         """Block (bounded) until the probe performs within `tol` of the
-        session best; call immediately before each timing window."""
+        calibration anchor; call immediately before each timing window."""
         if not self.enabled:
             return
-        reading = self._probe()
+        reading = self._gate_reading()
         retries = 0
-        while reading < self.tol * self.best and retries < self.max_retries:
+        while reading < self.tol * self.anchor and retries < self.max_retries:
             retries += 1
             self.waits += 1
             print(
                 f"bench: contention probe {reading:.0f} TFLOP/s < "
-                f"{self.tol:.0%} of best {self.best:.0f} — backing off "
+                f"{self.tol:.0%} of anchor {self.anchor:.0f} — backing off "
                 f"{self.backoff_s:.0f}s (retry {retries}/{self.max_retries})",
                 file=sys.stderr,
             )
             time.sleep(self.backoff_s)
-            reading = self._probe()
+            reading = self._gate_reading()
 
     def report(self) -> dict:
         if not self.enabled:
             return {}
         return {
             "probe_tflops": self.readings,
-            "probe_best_tflops": round(self.best, 1),
+            "probe_anchor_tflops": round(self.anchor, 1),
             "probe_waits": self.waits,
         }
 
@@ -771,6 +779,27 @@ def main() -> None:
     p.add_argument("--concurrency", type=int, default=16,
                    help="serve mode: concurrent client threads")
     args = p.parse_args()
+
+    # Persistent XLA compile cache (default on): the default capture's
+    # multi-metric profile compiles ~20 programs (full-size serving
+    # families dominate); with a warm cache the whole capture runs in
+    # minutes instead of ~40. The cache key covers HLO + compile options
+    # + compiler version, so reuse is always sound. Disable with
+    # ISTPU_BENCH_COMPILE_CACHE=off or point it elsewhere via the same
+    # variable.
+    cache_dir = os.environ.get(
+        "ISTPU_BENCH_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/istpu_xla_bench"))
+    if cache_dir and cache_dir != "off":
+        try:
+            from image_segmentation_tpu.utils.profiling import (
+                enable_compilation_cache,
+            )
+
+            enable_compilation_cache(cache_dir)
+        except Exception as e:
+            print(f"bench: compile cache unavailable ({e!r})",
+                  file=sys.stderr)
 
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         # honor an explicit CPU request: the axon PJRT plugin overrides

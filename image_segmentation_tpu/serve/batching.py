@@ -56,7 +56,10 @@ class BatchingEngine:
         engine: InferenceEngine,
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
+        max_inflight: int = 3,
     ):
+        import concurrent.futures
+
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
@@ -64,6 +67,18 @@ class BatchingEngine:
         self._cv = threading.Condition()
         self._closed = False
         self._last_served: Optional[str] = None
+        # Dispatch/fetch overlap: jax dispatches are async, but the
+        # device→host score fetch is not — fetching batch k inline in
+        # the worker idles the device for the whole transfer (bf16
+        # scores at batch 8 are ~3 MB, a large fraction of the batch's
+        # device time over a remote-device link). The worker therefore
+        # hands each dispatched batch's FETCH to this small pool and
+        # immediately dispatches the next batch; `max_inflight` bounds
+        # the dispatched-but-unfetched batches so device score buffers
+        # can't pile up under a slow host link.
+        self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="serve-fetch")
+        self._inflight = threading.Semaphore(max_inflight)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -131,17 +146,33 @@ class BatchingEngine:
                 # host array: forward device-puts it (the composed
                 # prompt path hashes staged bytes for its score cache)
                 stacked.append(np.stack(arrs))
-            # slice off the padding ON DEVICE so padded rows never cross
-            # the host link
-            scores = np.asarray(
-                entry.forward(*stacked)[: len(batch)], dtype=np.float32
-            )
+            self._inflight.acquire()
+            try:
+                # async dispatch; padding sliced off ON DEVICE so padded
+                # rows never cross the host link
+                scores_dev = entry.forward(*stacked)[: len(batch)]
+            except BaseException:
+                self._inflight.release()
+                raise
+        except Exception as e:  # pragma: no cover
+            for p in batch:
+                p.error = e
+                p.event.set()
+            return
+        # the fetch (the slow, host-bound half) overlaps the NEXT
+        # batch's device compute — see __init__
+        self._fetch_pool.submit(self._fetch, scores_dev, batch)
+
+    def _fetch(self, scores_dev, batch):
+        try:
+            scores = np.asarray(scores_dev, dtype=np.float32)
             for j, p in enumerate(batch):
                 p.scores = scores[j]
         except Exception as e:  # pragma: no cover
             for p in batch:
                 p.error = e
         finally:
+            self._inflight.release()
             for p in batch:
                 p.event.set()
 
@@ -209,3 +240,5 @@ class BatchingEngine:
             self._closed = True
             self._cv.notify_all()
         self._worker.join(timeout=5)
+        # drain pending fetches (they complete their requests' events)
+        self._fetch_pool.shutdown(wait=True)

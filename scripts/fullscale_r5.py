@@ -141,9 +141,9 @@ def main(argv=None):
     rows = [r.strip() for r in args.rows.split(",")]
     curves = {}
     gaps = {}
-    series = {row: _epoch_series(runs, row, row if row in
-                                 ("unet_aug", "unet_noaug") else row)
-              for row in rows}
+    # config name == row name for the UNet rows (config.py CONFIGS);
+    # other rows (clip_*) use different config names — map if added
+    series = {row: _epoch_series(runs, row, row) for row in rows}
 
     if not args.skip_robustness and set(rows) >= {"unet_aug", "unet_noaug"}:
         import jax.numpy as jnp
