@@ -849,7 +849,7 @@ def main() -> None:
         clip_args.steps = min(args.steps, 6)
         clip_args.repeat = min(args.repeat, 2)
         _try("clipunet_train", lambda: bench_step(clip_args, "clipunet"))
-        _try("fit_epoch", lambda: bench_fit(256 if on_accel else 16, 3))
+        _try("fit_epoch", lambda: bench_fit(512 if on_accel else 16, 4))
         _try("eval", lambda: bench_eval(512 if on_accel else 8))
         _try("serve_multimodel",
              lambda: bench_serve_multimodel(12 if on_accel else 2, 16))

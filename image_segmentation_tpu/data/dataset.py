@@ -145,3 +145,39 @@ class ArrayDataset:
 
     def __getitem__(self, idx: int):
         return self.items[idx]
+
+    def map_labels(self, fn) -> "ArrayDataset":
+        """Apply `fn` to every item's label IN PLACE (the label is the
+        last tuple element) and return self. In-place matters at scale:
+        a full-size offline-augmented train set is ~23k 256² samples,
+        and rebuilding a remapped copy doubles host memory."""
+        self.items = [(*item[:-1], fn(np.asarray(item[-1])))
+                      for item in self.items]
+        return self
+
+
+class U8ArrayDataset(ArrayDataset):
+    """ArrayDataset storing float [0,1] images (and heatmaps) QUANTIZED
+    to uint8 in memory, dequantizing on access.
+
+    Why: the offline augmentation pipeline (data/augment.py, reference
+    utils/augmentation.ipynb C29) expands the Pet train split ~9× to
+    ~23k 256² samples; held as float32 that is ~18 GB of host RAM
+    before the materialized staging copy even exists (a full-scale run
+    measured >100 GB RSS and nearly exhausted the host). Sources are
+    8-bit JPEGs, so uint8 is the SOURCE precision — quantization here
+    loses nothing the decode hadn't already lost, and cuts storage 4×.
+    Labels stay integer and are stored as-is."""
+
+    def __init__(self, items: Sequence[tuple]):
+        super().__init__(
+            (*(np.clip(np.round(np.asarray(a, np.float32) * 255.0),
+                       0, 255).astype(np.uint8) for a in item[:-1]),
+             item[-1])
+            for item in items
+        )
+
+    def __getitem__(self, idx: int):
+        item = self.items[idx]
+        return (*(a.astype(np.float32) / 255.0 for a in item[:-1]),
+                item[-1])

@@ -268,10 +268,16 @@ def main(argv=None):
     def remap_ds(ds):
         # File-backed datasets keep the remap as a target_transform so
         # materialize() can take the native C++ decode+staging fast path
-        # (data/native_pipeline.py); in-memory datasets remap eagerly.
+        # (data/native_pipeline.py); in-memory datasets remap eagerly —
+        # IN PLACE for ArrayDatasets (a full-scale offline-augmented set
+        # is ~23k samples; a remapped copy doubles host memory, and
+        # going through __getitem__ would also dequantize U8ArrayDataset
+        # images back to float storage).
         if isinstance(ds, SegmentationDataset):
             ds.target_transform = target_remap
             return ds
+        if isinstance(ds, ArrayDataset):
+            return ds.map_labels(target_remap)
         return ArrayDataset(
             [(ds[i][0], target_remap(np.asarray(ds[i][1]))) for i in range(len(ds))]
         )

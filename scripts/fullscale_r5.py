@@ -77,9 +77,14 @@ def main(argv=None):
     p.add_argument("--patience", type=int, default=12,
                    help="early-stop patience in epochs (documented "
                         "convergence stop; 0 = full schedule)")
-    p.add_argument("--batch", type=int, default=64,
-                   help="effective batch (reference: 64 via grad accum, "
-                        "utils/training.py:49-56 — here one real batch)")
+    p.add_argument("--batch", type=int, default=32,
+                   help="MICRO batch per accumulation step; config.py "
+                        "keeps the reference effective batch 64 "
+                        "(accum = 64 // batch, utils/training.py:49-56). "
+                        "32 keeps the training step's activation "
+                        "footprint clear of the uint8-resident dataset "
+                        "in HBM (observed TPU-worker crash regime: "
+                        "~6 GB resident + B=64 activations)")
     p.add_argument("--target-size", type=int, default=256)
     p.add_argument("--workdir", default="/tmp/fullscale_r5")
     p.add_argument("--rows", default="unet_aug,unet_noaug")
@@ -89,6 +94,12 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     os.environ.setdefault("ISTPU_LOG_CHUNKS", "1")
+    # the ~23k-sample offline-augmented set is ~6.0 GB as uint8 (images
+    # + labels) — raise the residency budget above the 4096 MB default
+    # so the epoch trainer keeps the dataset in HBM (the streaming
+    # fallback measured 417 s/epoch vs ~60 s resident at this scale);
+    # B=32 microbatches keep total HBM ≈ 8.5 GB on the 16 GB v5e
+    os.environ.setdefault("ISTPU_TRAIN_DEVICE_CACHE_MB", "6500")
 
     from benchmarks.robustness import PERTURBATIONS, robustness_sweep
     from benchmarks.robustness_pipeline import make_pet_source

@@ -253,3 +253,55 @@ class TestDeviceAugmenters:
         a = np.asarray(a_img)
         assert a.max() > 0.9  # content preserved
         assert a[0, 0].max() < 1e-6  # corners empty
+
+
+class TestU8Storage:
+    """Quantized in-memory storage for the offline-augmented dataset
+    (data/dataset.py U8ArrayDataset): at full Pet scale the ~23k-sample
+    expansion held as float32 is ~18 GB host RAM; uint8 is the 8-bit
+    source precision (a measured full-scale run hit >100 GB RSS before
+    this)."""
+
+    def test_u8_dataset_roundtrip_at_source_precision(self):
+        from image_segmentation_tpu.data.dataset import U8ArrayDataset
+
+        rng = np.random.default_rng(0)
+        # values on the 8-bit grid survive exactly
+        img = (rng.integers(0, 256, (8, 8, 3)) / 255.0).astype(np.float32)
+        label = rng.integers(0, 4, (8, 8)).astype(np.int32)
+        ds = U8ArrayDataset([(img, label)])
+        out_img, out_label = ds[0]
+        np.testing.assert_allclose(out_img, img, atol=1e-7)
+        np.testing.assert_array_equal(out_label, label)
+        assert ds.items[0][0].dtype == np.uint8  # stored quantized
+        assert out_img.dtype == np.float32
+
+    def test_generate_augmented_is_u8_backed_and_remaps_in_place(self):
+        from image_segmentation_tpu.data.augment import (
+            generate_augmented_dataset,
+        )
+        from image_segmentation_tpu.data.dataset import (
+            ArrayDataset,
+            U8ArrayDataset,
+        )
+        from image_segmentation_tpu.data.labels import target_remap
+
+        rng = np.random.default_rng(1)
+        items = []
+        for i in range(4):
+            img = rng.uniform(0, 1, (40, 50, 3)).astype(np.float32)
+            label = np.zeros((40, 50), np.int32)
+            label[10:30, 10:40] = 1 if i % 2 == 0 else 2
+            label[9, 10:40] = 255  # boundary sentinel
+            items.append((img, label))
+        aug = generate_augmented_dataset(ArrayDataset(items), size=32)
+        assert isinstance(aug, U8ArrayDataset)
+        assert len(aug) > 4  # expanded
+        img0, lab0 = aug[0]
+        assert img0.dtype == np.float32 and img0.max() <= 1.0
+        # in-place label remap keeps the uint8 image storage
+        same = aug.map_labels(target_remap)
+        assert same is aug
+        assert aug.items[0][0].dtype == np.uint8
+        for i in range(len(aug)):
+            assert 255 not in np.unique(aug[i][1])
