@@ -100,6 +100,9 @@ def robustness_sweep(
     seed: int = 0,
     batch_size: int = 8,
     verbose: bool = True,
+    workers: int = 0,
+    state=None,
+    transfer_u8: bool = True,
 ) -> Dict[str, List[float]]:
     """Mean Dice per (perturbation, severity) on a materialised eval set.
 
@@ -107,34 +110,139 @@ def robustness_sweep(
     `val_data` a MaterializedDataset with orig_labels kept. Perturbations
     apply to the already-staged fixed-size inputs (protocol as in the
     reference report: perturb, predict, score at original resolution).
+
+    Two scoring paths, identical protocol math:
+
+    * host path (default): fetch per-batch scores, inverse geometry +
+      confusion on the host — thread-parallel (`workers`), float64
+      aggregation, order-independent (per-image confusions merge into
+      one (C, C); perturbation randomness comes from a deterministic
+      per-image seed so worker count cannot change results).
+    * DEVICE path (`state=...`, a TrainState-like with
+      params/batch_stats/apply_fn): the train/fast_eval.py protocol —
+      forward, fixed-canvas inverse, argmax and confusion ALL on
+      device; the only device→host transfer per batch is a (C, C)
+      int32 matrix. At the full-scale receipt (555 test images, 8×10
+      sweep, one v5e over a remote link) the host path moved ~580 MB of
+      f32 scores per severity and ran ~10+ min per perturbation family;
+      the device path removes that transfer entirely. The two paths are
+      pinned equal by tests/test_ablations.py.
     """
+    import concurrent.futures
+
     import jax.numpy as jnp
 
+    workers = workers or min(8, os.cpu_count() or 4)
     results: Dict[str, List[float]] = {}
     metas_all = val_data.metas
     n = len(val_data)
-    for name, fn in PERTURBATIONS.items():
-        dices = []
-        for sev in severities:
-            rng = np.random.default_rng(seed + sev)
-            agg = MetricsHistory(num_classes, ignore_index=eval_ignore_index)
-            for start in range(0, n, batch_size):
-                idx = list(range(start, min(start + batch_size, n)))
-                imgs = np.stack(
-                    [fn(val_data.images[i], sev, rng) for i in idx]
-                ).astype(np.float32)
-                scores = np.asarray(forward(jnp.asarray(imgs)))
-                for j, i in enumerate(idx):
-                    meta = G.ResizeMeta(
-                        *(np.asarray(f)[i] for f in metas_all)
-                    )
-                    inv = G.invert_resize_padding_np(scores[j], meta)
-                    agg.accumulate(inv, val_data.orig_labels[i])
-            dice, _, _ = agg.compute_epoch_metrics()
-            dices.append(dice)
-        results[name] = dices
-        if verbose:
-            print(f"{name}: " + " ".join(f"{d:.3f}" for d in dices))
+
+    eval_fn = labels_dev = None
+    if state is not None:
+        import jax
+
+        from image_segmentation_tpu.train.fast_eval import (
+            get_eval_batch_fn,
+            pack_label_canvases,
+        )
+
+        canvases = pack_label_canvases(val_data.orig_labels)
+        labels_dev = jax.device_put(canvases)  # uploaded once
+        eval_fn = get_eval_batch_fn(canvases.shape[1:3], num_classes)
+        metas_dev = jax.device_put(
+            G.ResizeMeta(*(jnp.asarray(np.asarray(f)) for f in metas_all))
+        )
+        if transfer_u8:
+            # ship perturbed images as uint8 (4x fewer bytes — a full
+            # sweep at 555 test images uploads ~450 MB of f32 per
+            # severity over the device link, which measured ~10 min per
+            # perturbation family end-to-end); 8-bit is the precision a
+            # real perturbed image would have on disk anyway. The
+            # wrapped apply dequantizes on device. transfer_u8=False
+            # keeps f32 transport for bit-parity with the host path.
+            orig_apply = state.apply_fn
+
+            def apply_dequant(variables, *inputs, **kw):
+                inputs = [
+                    x.astype(jnp.float32) / 255.0
+                    if x.dtype == jnp.uint8 else x
+                    for x in inputs
+                ]
+                return orig_apply(variables, *inputs, **kw)
+
+            state = state.replace(apply_fn=apply_dequant)
+
+    def img_confusion(scores_j, i):
+        meta = G.ResizeMeta(*(np.asarray(f)[i] for f in metas_all))
+        inv = G.invert_resize_padding_np(scores_j, meta)
+        pred = inv.argmax(axis=-1)
+        label = np.asarray(val_data.orig_labels[i]).reshape(pred.shape)
+        idx = label.astype(np.int64) * num_classes + pred.astype(np.int64)
+        return np.bincount(
+            idx.reshape(-1), minlength=num_classes**2
+        ).reshape(num_classes, num_classes)
+
+    with concurrent.futures.ThreadPoolExecutor(workers) as pool:
+        for name, fn in PERTURBATIONS.items():
+            dices = []
+            for sev in severities:
+                agg = MetricsHistory(num_classes,
+                                     ignore_index=eval_ignore_index)
+
+                def perturb(i, _fn=fn, _sev=sev):
+                    r = np.random.default_rng(
+                        seed * 1_000_003 + _sev * 10_007 + i)
+                    return _fn(val_data.images[i], _sev, r)
+
+                if eval_fn is not None:
+                    # device protocol: batch index windows, pad the tail
+                    confs = []
+                    for start in range(0, n, batch_size):
+                        idx = list(range(start,
+                                         min(start + batch_size, n)))
+                        real = np.zeros((batch_size,), bool)
+                        real[: len(idx)] = True
+                        while len(idx) < batch_size:
+                            idx.append(idx[-1])
+                        imgs = np.stack(
+                            list(pool.map(perturb, idx))
+                        ).astype(np.float32)
+                        if transfer_u8:
+                            imgs = np.clip(
+                                np.round(imgs * 255.0), 0, 255
+                            ).astype(np.uint8)
+                        sel = jnp.asarray(idx)
+                        conf, _ = eval_fn(
+                            state, (jnp.asarray(imgs),),
+                            jax.tree_util.tree_map(
+                                lambda f: f[sel], metas_dev),
+                            labels_dev[sel], jnp.asarray(real),
+                        )
+                        confs.append(conf)  # (C, C) device — fetch below
+                    for conf in confs:
+                        agg.accumulate_confusion(np.asarray(conf))
+                else:
+                    pending = []  # (device scores, idx) — fetch lazily
+                    for start in range(0, n, batch_size):
+                        idx = list(range(start,
+                                         min(start + batch_size, n)))
+                        imgs = np.stack(
+                            list(pool.map(perturb, idx))).astype(np.float32)
+                        pending.append((forward(jnp.asarray(imgs)), idx))
+                    conf_futures = []
+                    for scores_dev, idx in pending:
+                        scores = np.asarray(scores_dev)
+                        conf_futures += [
+                            pool.submit(img_confusion, scores[j], i)
+                            for j, i in enumerate(idx)
+                        ]
+                    total = sum(f.result() for f in conf_futures)
+                    agg.accumulate_confusion(total)
+                dice, _, _ = agg.compute_epoch_metrics()
+                dices.append(dice)
+            results[name] = dices
+            if verbose:
+                print(f"{name}: " + " ".join(f"{d:.3f}" for d in dices))
     return results
 
 

@@ -122,22 +122,44 @@ def main(argv=None):
     from image_segmentation_tpu.train import loop as L
 
     repro = _load("reproduce_reference")
+    table_path = os.path.join(work, "table.json")
     t_train = time.time()
-    table = repro.main([
-        "--data-root", tree, "--save-dir", runs,
-        "--rows", args.rows,
-        "--epochs", str(args.epochs), "--batch-size", str(args.batch),
-        "--target-size", str(args.target_size),
-        "--offline-aug",
-        *(["--early-stop-patience", str(args.patience)]
-          if args.patience else []),
-        "--json-out", os.path.join(work, "table.json"),
-    ])
+    if os.path.exists(table_path):
+        # RESUME: training rows already completed in a previous
+        # invocation (checkpoints + metrics on disk) — reuse them and
+        # run only the remaining stages. Chunk diagnostics come from
+        # the saved training log (ISTPU_LOG_CHUNKS lines) when present.
+        with open(table_path) as f:
+            table = json.load(f)["rows"]
+        print(f"[fullscale] resuming from {table_path} "
+              f"(training rows reused)")
+    else:
+        table = repro.main([
+            "--data-root", tree, "--save-dir", runs,
+            "--rows", args.rows,
+            "--epochs", str(args.epochs), "--batch-size", str(args.batch),
+            "--target-size", str(args.target_size),
+            "--offline-aug",
+            *(["--early-stop-patience", str(args.patience)]
+              if args.patience else []),
+            "--json-out", table_path,
+        ])
     train_s = time.time() - t_train
 
     # chunk-dispatch diagnostics: the full run's bounded dispatches,
-    # compile events separated from steady-state walls
+    # compile events separated from steady-state walls (from this
+    # process, or from the saved log of the training invocation)
     chunks = list(L.CHUNK_LOG)
+    log_file = os.path.join(work, "train_log.txt")
+    if not chunks and os.path.exists(log_file):
+        import re
+
+        pat = re.compile(
+            r"\[fit\] chunk steps=(\d+) wall=([\d.]+)s( \(compiled\))?")
+        with open(log_file) as f:
+            chunks = [(int(m.group(1)), float(m.group(2)),
+                       bool(m.group(3)))
+                      for m in map(pat.search, f) if m]
     steady = [w for _, w, c in chunks if not c]
     compile_walls = [w for _, w, c in chunks if c]
     chunk_stats = {
@@ -171,20 +193,24 @@ def main(argv=None):
             target_transform=target_remap,
         )
         val = materialize(test, args.target_size, keep_orig_labels=True)
+        from image_segmentation_tpu.train.state import TrainState
+
         for row in ("unet_aug", "unet_noaug"):
             cfg = C.CONFIGS[row]
             model = C.build_model(
                 cfg, on_tpu=jax.devices()[0].platform != "cpu")
             loaded = ckpt.load_variables_only(os.path.join(runs, row, row))
-            forward = jax.jit(
-                lambda x, _m=model, _v=loaded: _m.apply(
-                    {"params": _v["params"],
-                     "batch_stats": _v.get("batch_stats", {})},
-                    x, train=False,
-                ).astype(jnp.float32)
+            # device-protocol sweep (state= path): confusion counts stay
+            # on device — the host-path sweep moved ~580 MB of f32
+            # scores per severity over the device link at this scale
+            state = TrainState(
+                step=0, params=loaded["params"],
+                batch_stats=loaded.get("batch_stats", {}),
+                opt_state=None, apply_fn=model.apply, tx=None,
             )
             print(f"[fullscale] robustness sweep: {row}")
-            curves[row] = robustness_sweep(forward, val, num_classes=4)
+            curves[row] = robustness_sweep(
+                None, val, num_classes=4, state=state, batch_size=64)
         mean_aug = {k: float(np.mean(v))
                     for k, v in curves["unet_aug"].items()}
         mean_no = {k: float(np.mean(v))

@@ -83,3 +83,47 @@ def test_skips_and_prompt_freeze_experiments_run_end_to_end():
     assert set(summaries) == {"skips", "prompt_freeze"}
     for x in runs:
         assert 0.0 <= x["best_miou"] <= 1.0
+
+
+def test_robustness_sweep_device_path_matches_host():
+    """The robustness sweep's two scoring paths — host (threaded
+    per-image inverse + float64 confusion) and device (the
+    train/fast_eval.py canvas protocol, state=...) — must agree: same
+    perturbation draws (deterministic per-image seeds), same protocol
+    math, (C, C) counts only differing in where they're summed."""
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.robustness import robustness_sweep
+    from image_segmentation_tpu.losses import DiceCELoss
+    from image_segmentation_tpu.models import UNet
+    from image_segmentation_tpu.run import synthetic_materialized
+    from image_segmentation_tpu.train import create_train_state
+    from image_segmentation_tpu.train.state import make_adamw
+
+    val = synthetic_materialized(6, 32, seed=3, keep_orig_labels=True)
+    model = UNet(num_classes=4, base=8, dtype=jnp.float32)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.asarray(val.images[:1]),
+        make_adamw(learning_rate=1e-3),
+    )
+    fwd = jax.jit(
+        lambda x: model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False,
+        ).astype(jnp.float32)
+    )
+    sev = [1, 6]
+    host = robustness_sweep(fwd, val, num_classes=4, severities=sev,
+                            verbose=False)
+    dev = robustness_sweep(None, val, num_classes=4, severities=sev,
+                           verbose=False, state=state, batch_size=4,
+                           transfer_u8=False)
+    for k in host:
+        np.testing.assert_allclose(dev[k], host[k], atol=2e-4, err_msg=k)
+    # uint8 transport (the full-scale default — 4× less upload): same
+    # curves to 8-bit-quantization tolerance
+    dev8 = robustness_sweep(None, val, num_classes=4, severities=sev,
+                            verbose=False, state=state, batch_size=4)
+    for k in host:
+        np.testing.assert_allclose(dev8[k], host[k], atol=5e-3, err_msg=k)

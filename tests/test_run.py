@@ -130,3 +130,20 @@ def test_lr_schedule_cosine(tmp_path):
         "--warmup-steps", "2", "--max-devices", "1",
     ])
     assert len(res.history["train_loss"]) == 2
+
+
+def test_early_stop_patience_cli(tmp_path):
+    """--early-stop-patience ends the run once val mIoU plateaus and
+    records the stop epoch (run.py → fit(early_stop_patience=...));
+    the reference always pays its fixed schedule
+    (utils/training.py:551-609)."""
+    res = main([
+        "--config", "unet_noaug", "--synthetic", "8", "--epochs", "30",
+        "--batch-size", "4", "--target-size", "32",
+        "--save-dir", str(tmp_path), "--max-devices", "1",
+        "--early-stop-patience", "1",
+    ])
+    ran = len(res.history["train_loss"])
+    assert ran < 30
+    assert res.history["stopped_early"] == [ran]
+    assert os.path.isdir(tmp_path / "unet_noaug")
