@@ -103,6 +103,7 @@ def robustness_sweep(
     workers: int = 0,
     state=None,
     transfer_u8: bool = True,
+    families=None,
 ) -> Dict[str, List[float]]:
     """Mean Dice per (perturbation, severity) on a materialised eval set.
 
@@ -182,8 +183,9 @@ def robustness_sweep(
             idx.reshape(-1), minlength=num_classes**2
         ).reshape(num_classes, num_classes)
 
+    chosen = {k: PERTURBATIONS[k] for k in (families or PERTURBATIONS)}
     with concurrent.futures.ThreadPoolExecutor(workers) as pool:
-        for name, fn in PERTURBATIONS.items():
+        for name, fn in chosen.items():
             dices = []
             for sev in severities:
                 agg = MetricsHistory(num_classes,

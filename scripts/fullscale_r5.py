@@ -32,6 +32,7 @@ Run (TPU):
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import importlib.util
 import json
 import os
@@ -89,6 +90,14 @@ def main(argv=None):
     p.add_argument("--workdir", default="/tmp/fullscale_r5")
     p.add_argument("--rows", default="unet_aug,unet_noaug")
     p.add_argument("--skip-robustness", action="store_true")
+    p.add_argument("--sweep-families", default=None,
+                   help="comma-separated subset of the 8 perturbation "
+                        "families (default: all)")
+    p.add_argument("--sweep-images", type=int, default=0,
+                   help="sweep only the first N Test images (0 = all; "
+                        "bounds sweep wall time — the upload of "
+                        "perturbed images over the device link "
+                        "dominates at full split size)")
     p.add_argument("--out", default=os.path.join(
         _REPO, "benchmarks", "fullscale_r5.json"))
     args = p.parse_args(argv)
@@ -193,6 +202,17 @@ def main(argv=None):
             target_transform=target_remap,
         )
         val = materialize(test, args.target_size, keep_orig_labels=True)
+        if args.sweep_images and args.sweep_images < len(val):
+            m = args.sweep_images
+            val = dataclasses.replace(
+                val, images=val.images[:m], labels=val.labels[:m],
+                metas=type(val.metas)(*(np.asarray(f)[:m]
+                                        for f in val.metas)),
+                orig_labels=val.orig_labels[:m],
+            )
+            print(f"[fullscale] sweep restricted to first {m} Test images")
+        fams = ([f.strip() for f in args.sweep_families.split(",")]
+                if args.sweep_families else None)
         from image_segmentation_tpu.train.state import TrainState
 
         for row in ("unet_aug", "unet_noaug"):
@@ -210,12 +230,13 @@ def main(argv=None):
             )
             print(f"[fullscale] robustness sweep: {row}")
             curves[row] = robustness_sweep(
-                None, val, num_classes=4, state=state, batch_size=64)
+                None, val, num_classes=4, state=state, batch_size=64,
+                families=fams)
         mean_aug = {k: float(np.mean(v))
                     for k, v in curves["unet_aug"].items()}
         mean_no = {k: float(np.mean(v))
                    for k, v in curves["unet_noaug"].items()}
-        gaps = {k: round(mean_aug[k] - mean_no[k], 4) for k in PERTURBATIONS}
+        gaps = {k: round(mean_aug[k] - mean_no[k], 4) for k in mean_aug}
 
     out = {
         "device": jax.devices()[0].device_kind,
@@ -223,9 +244,14 @@ def main(argv=None):
             "source_images": args.images,
             "epochs_budget": args.epochs,
             "early_stop_patience": args.patience,
-            "effective_batch": args.batch,
+            "micro_batch": args.batch,
+            "effective_batch": 64,  # config.py accum = 64 // micro
             "target_size": args.target_size,
             "offline_aug": True,
+            "sweep_images": args.sweep_images or "all",
+            "sweep_protocol": "device (fast_eval canvas confusion), "
+                              "uint8 transport",
+            "resumed_training": os.path.exists(table_path),
         },
         "table": table,
         "reference_table": {r: repro.REFERENCE_TABLE[r][1:] for r in rows

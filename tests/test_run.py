@@ -132,18 +132,29 @@ def test_lr_schedule_cosine(tmp_path):
     assert len(res.history["train_loss"]) == 2
 
 
-def test_early_stop_patience_cli(tmp_path):
-    """--early-stop-patience ends the run once val mIoU plateaus and
-    records the stop epoch (run.py → fit(early_stop_patience=...));
-    the reference always pays its fixed schedule
-    (utils/training.py:551-609)."""
-    res = main([
-        "--config", "unet_noaug", "--synthetic", "8", "--epochs", "30",
+def test_early_stop_patience_cli(tmp_path, monkeypatch):
+    """--early-stop-patience reaches fit() as early_stop_patience
+    (plumbing pin — the stop BEHAVIOR itself is pinned deterministically
+    by test_train.py::test_fit_early_stop_patience; a live-threshold CLI
+    variant was flaky: on a steadily-learning synthetic task val mIoU
+    can improve every epoch for the whole budget, and patience never
+    fires — correctly)."""
+    from image_segmentation_tpu.train import loop as L
+
+    seen = {}
+    real_fit = L.fit
+
+    def spy(*a, **kw):
+        seen.update(kw)
+        return real_fit(*a, **kw)
+
+    # run.py imports fit by name at call time from train.loop
+    monkeypatch.setattr(L, "fit", spy)
+    main([
+        "--config", "unet_noaug", "--synthetic", "8", "--epochs", "1",
         "--batch-size", "4", "--target-size", "32",
         "--save-dir", str(tmp_path), "--max-devices", "1",
-        "--early-stop-patience", "1",
+        "--early-stop-patience", "7",
     ])
-    ran = len(res.history["train_loss"])
-    assert ran < 30
-    assert res.history["stopped_early"] == [ran]
+    assert seen.get("early_stop_patience") == 7
     assert os.path.isdir(tmp_path / "unet_noaug")
