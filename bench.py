@@ -851,8 +851,10 @@ def main() -> None:
         _try("clipunet_train", lambda: bench_step(clip_args, "clipunet"))
         _try("fit_epoch", lambda: bench_fit(512 if on_accel else 16, 4))
         _try("eval", lambda: bench_eval(512 if on_accel else 8))
+        # full request count: small-n captures are mostly queue ramp
+        # (n=48 measured 3.6-9.9 req/s where n=160 measures 32.5)
         _try("serve_multimodel",
-             lambda: bench_serve_multimodel(12 if on_accel else 2, 16))
+             lambda: bench_serve_multimodel(40 if on_accel else 2, 16))
         _try("serve_interactive",
              lambda: bench_serve_interactive(24 if on_accel else 4))
         for v in profile.values():
